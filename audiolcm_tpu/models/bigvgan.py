@@ -1,0 +1,167 @@
+"""BigVGAN generator: mel (B, T, 80) -> waveform (B, 256*T).
+
+Behavior parity: `vocoder/bigvgan/models.py:30-213` with the shipped 16 kHz
+config (`bigvgan_audioset16khz_80band.json`): conv_pre k7 -> 6 transposed-conv
+upsample stages (rates 4,4,2,2,2,2 / kernels 8,8,4,4,4,4, channel halving
+from 1536) each followed by the average of 3 AMP residual blocks (kernels
+3,7,11, dilations 1,3,5) -> snakebeta -> conv_post k7 -> tanh. All reference
+convs carry weight_norm, which the checkpoint converter folds into plain
+kernels (inference-equivalent).
+
+TPU-first notes: channels-last layout; the transposed convs are
+lax.conv_general_dilated with lhs_dilation (no scatter); the snakebeta +
+anti-aliased resampling chain is pure fusible elementwise + depthwise-conv
+work between the big MXU convs. The entire x256 upsampling stack compiles
+into a single XLA program per duration bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from audiolcm_tpu.nn.resample import alias_free_activation
+from audiolcm_tpu.nn.snake import Snake, SnakeBeta
+
+
+@dataclasses.dataclass(frozen=True)
+class BigVGANConfig:
+    num_mels: int = 80
+    upsample_rates: Sequence[int] = (4, 4, 2, 2, 2, 2)
+    upsample_kernel_sizes: Sequence[int] = (8, 8, 4, 4, 4, 4)
+    upsample_initial_channel: int = 1536
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    activation: str = "snakebeta"
+    snake_logscale: bool = True
+    resblock: str = "1"
+
+    @property
+    def total_upsample(self) -> int:
+        out = 1
+        for r in self.upsample_rates:
+            out *= r
+        return out
+
+
+def _norm_init():
+    return nn.initializers.normal(0.01)
+
+
+class ConvTranspose1dTorchParity(nn.Module):
+    """Transposed conv matching torch's ConvTranspose1d(k, stride=u, padding=(k-u)//2).
+
+    Output length is exactly T*u. The kernel is stored in lax HIO layout with
+    time already flipped (the converter handles torch's adjoint semantics),
+    so the forward is a plain lhs-dilated correlation.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, u = self.kernel_size, self.stride
+        crop = (k - u) // 2
+        kernel = self.param(
+            "kernel", _norm_init(), (k, x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(k - 1 - crop, k - 1 - crop)],
+            lhs_dilation=(u,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        return out + bias
+
+
+def _conv1d(features: int, kernel: int, dilation: int = 1, name: str | None = None):
+    pad = (kernel * dilation - dilation) // 2
+    return nn.Conv(
+        features,
+        kernel_size=(kernel,),
+        padding=[(pad, pad)],
+        kernel_dilation=(dilation,),
+        kernel_init=_norm_init(),
+        name=name,
+    )
+
+
+class AMPBlock1(nn.Module):
+    """`models.py:30-81`: 3x(act -> dilated conv -> act -> conv) residual."""
+
+    kernel_size: int
+    dilations: Sequence[int]
+    snake_logscale: bool = True
+    activation: str = "snakebeta"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        channels = x.shape[-1]
+        act_cls = SnakeBeta if self.activation == "snakebeta" else Snake
+        for i, d in enumerate(self.dilations):
+            a1 = act_cls(self.snake_logscale, name=f"act1_{i}")
+            a2 = act_cls(self.snake_logscale, name=f"act2_{i}")
+            h = alias_free_activation(x, a1)
+            h = _conv1d(channels, self.kernel_size, d, name=f"conv1_{i}")(h)
+            h = alias_free_activation(h, a2)
+            h = _conv1d(channels, self.kernel_size, 1, name=f"conv2_{i}")(h)
+            x = x + h
+        return x
+
+
+class AMPBlock2(nn.Module):
+    """`models.py:90-126`: lighter 2x(act -> dilated conv) residual variant."""
+
+    kernel_size: int
+    dilations: Sequence[int]
+    snake_logscale: bool = True
+    activation: str = "snakebeta"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        channels = x.shape[-1]
+        act_cls = SnakeBeta if self.activation == "snakebeta" else Snake
+        for i, d in enumerate(self.dilations):
+            a = act_cls(self.snake_logscale, name=f"act_{i}")
+            h = alias_free_activation(x, a)
+            h = _conv1d(channels, self.kernel_size, d, name=f"conv_{i}")(h)
+            x = x + h
+        return x
+
+
+class BigVGAN(nn.Module):
+    config: BigVGANConfig = BigVGANConfig()
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """mel (B, T, num_mels) -> waveform (B, 256*T) in [-1, 1]."""
+        cfg = self.config
+        block_cls = AMPBlock1 if cfg.resblock == "1" else AMPBlock2
+        x = _conv1d(cfg.upsample_initial_channel, 7, name="conv_pre")(mel)
+        num_kernels = len(cfg.resblock_kernel_sizes)
+        for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            x = ConvTranspose1dTorchParity(ch, k, u, name=f"ups_{i}")(x)
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+            ):
+                h = block_cls(
+                    rk, tuple(rd), cfg.snake_logscale, cfg.activation,
+                    name=f"resblock_{i}_{j}",
+                )(x)
+                acc = h if acc is None else acc + h
+            x = acc / num_kernels
+        act_cls = SnakeBeta if cfg.activation == "snakebeta" else Snake
+        x = alias_free_activation(x, act_cls(cfg.snake_logscale, name="act_post"))
+        x = _conv1d(1, 7, name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]

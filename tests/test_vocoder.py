@@ -1,0 +1,154 @@
+"""Alias-free resampling golden tests vs torch equations + BigVGAN shapes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audiolcm_tpu.models.bigvgan import BigVGAN, BigVGANConfig
+from audiolcm_tpu.nn.resample import (
+    downsample1d,
+    kaiser_sinc_filter1d,
+    upsample1d,
+)
+from audiolcm_tpu.nn.snake import snake_beta
+
+
+def _torch_kaiser_sinc(cutoff, half_width, kernel_size):
+    """Reference equation (filter.py:28-57) re-derived with torch."""
+    import math
+
+    import torch
+
+    even = kernel_size % 2 == 0
+    half_size = kernel_size // 2
+    delta_f = 4 * half_width
+    a = 2.285 * (half_size - 1) * math.pi * delta_f + 7.95
+    if a > 50.0:
+        beta = 0.1102 * (a - 8.7)
+    elif a >= 21.0:
+        beta = 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21.0)
+    else:
+        beta = 0.0
+    window = torch.kaiser_window(kernel_size, beta=beta, periodic=False)
+    if even:
+        time = torch.arange(-half_size, half_size) + 0.5
+    else:
+        time = torch.arange(kernel_size) - half_size
+    filt = 2 * cutoff * window * torch.sinc(2 * cutoff * time)
+    filt /= filt.sum()
+    return filt
+
+
+def test_kaiser_sinc_filter_matches_torch():
+    for ratio in (2, 4):
+        ours = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, 12)
+        golden = _torch_kaiser_sinc(0.5 / ratio, 0.6 / ratio, 12).numpy()
+        np.testing.assert_allclose(ours, golden, atol=1e-6)
+
+
+def test_upsample_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    ratio, ks = 2, 12
+    x = rng.standard_normal((2, 32, 3)).astype(np.float32)
+    ours = np.asarray(upsample1d(jnp.asarray(x), ratio, ks))
+
+    # torch reference (resample.py:10-33)
+    xt = torch.from_numpy(x.transpose(0, 2, 1))  # (B,C,T)
+    filt = _torch_kaiser_sinc(0.5 / ratio, 0.6 / ratio, ks).view(1, 1, ks)
+    stride = ratio
+    pad = ks // ratio - 1
+    pad_left = pad * stride + (ks - stride) // 2
+    pad_right = pad * stride + (ks - stride + 1) // 2
+    xp = F.pad(xt, (pad, pad), mode="replicate")
+    y = ratio * F.conv_transpose1d(xp, filt.expand(3, -1, -1), stride=stride, groups=3)
+    y = y[..., pad_left:-pad_right]
+    golden = y.numpy().transpose(0, 2, 1)
+
+    assert ours.shape == golden.shape == (2, 64, 3)
+    np.testing.assert_allclose(ours, golden, atol=1e-5)
+
+
+def test_downsample_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    ratio, ks = 2, 12
+    x = rng.standard_normal((2, 64, 3)).astype(np.float32)
+    ours = np.asarray(downsample1d(jnp.asarray(x), ratio, ks))
+
+    xt = torch.from_numpy(x.transpose(0, 2, 1))
+    filt = _torch_kaiser_sinc(0.5 / ratio, 0.6 / ratio, ks).view(1, 1, ks)
+    even = ks % 2 == 0
+    pad_left = ks // 2 - int(even)
+    pad_right = ks // 2
+    xp = F.pad(xt, (pad_left, pad_right), mode="replicate")
+    y = F.conv1d(xp, filt.expand(3, -1, -1), stride=ratio, groups=3)
+    golden = y.numpy().transpose(0, 2, 1)
+
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours, golden, atol=1e-5)
+
+
+def test_snake_beta_matches_torch(rng):
+    import torch
+
+    x = rng.standard_normal((2, 16, 4)).astype(np.float32)
+    alpha = rng.standard_normal(4).astype(np.float32)
+    beta = rng.standard_normal(4).astype(np.float32)
+    ours = np.asarray(
+        snake_beta(jnp.asarray(x), jnp.exp(jnp.asarray(alpha)), jnp.exp(jnp.asarray(beta)))
+    )
+    xt = torch.from_numpy(x.transpose(0, 2, 1))
+    a = torch.exp(torch.from_numpy(alpha))[None, :, None]
+    b = torch.exp(torch.from_numpy(beta))[None, :, None]
+    golden = (xt + (1.0 / (b + 1e-9)) * torch.sin(xt * a) ** 2).numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(ours, golden, atol=1e-5)
+
+
+def test_bigvgan_tiny_shapes():
+    cfg = BigVGANConfig(
+        num_mels=8,
+        upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    model = BigVGAN(cfg)
+    mel = jnp.zeros((1, 16, 8))
+    params = model.init(jax.random.PRNGKey(0), mel)
+    wav = model.apply(params, mel)
+    assert wav.shape == (1, 16 * 8)
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_conv_transpose_parity(rng):
+    import torch
+    import torch.nn.functional as F
+
+    from audiolcm_tpu.models.bigvgan import ConvTranspose1dTorchParity
+
+    k, u, cin, cout = 8, 4, 3, 5
+    x = rng.standard_normal((2, 16, cin)).astype(np.float32)
+    w = rng.standard_normal((cin, cout, k)).astype(np.float32)
+
+    xt = torch.from_numpy(x.transpose(0, 2, 1))
+    golden = (
+        F.conv_transpose1d(xt, torch.from_numpy(w), stride=u, padding=(k - u) // 2)
+        .numpy()
+        .transpose(0, 2, 1)
+    )
+
+    mod = ConvTranspose1dTorchParity(cout, k, u)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # torch (in, out, K) -> lax HIO (K, in, out) with time flipped
+    lax_kernel = jnp.asarray(np.flip(w, axis=-1).transpose(2, 0, 1).copy())
+    params = {"params": {"kernel": lax_kernel, "bias": jnp.zeros((cout,))}}
+    ours = np.asarray(mod.apply(params, jnp.asarray(x)))
+
+    assert ours.shape == golden.shape == (2, 64, cout)
+    np.testing.assert_allclose(ours, golden, atol=1e-4)
