@@ -1,0 +1,220 @@
+"""Public inference API — signature/behavior parity with the reference.
+
+`AudioLCMInfer(prompt, config_path, model_path, vocoder_path)` and
+`AudioLCMBatchInfer(prompts, ...)` mirror `pythonscripts/InferAPI.py:103,135`:
+same prompt handling ({'ori_caption': p, 'struct_caption': f'<{p}& all>'}),
+S=2 LCM steps, guidance 5.0, latent shape (20, 312), 16 kHz wav written to
+results/test/<prompt-with-dashes>_0.wav.
+
+TPU redesign: the checkpoint is converted once to flax trees, the whole
+generate path is one jitted program, and batch inference runs as real
+batches instead of the reference's per-prompt python loop.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiolcm_tpu import config as cfg_mod
+from audiolcm_tpu.convert import (
+    convert_bert,
+    convert_bigvgan,
+    convert_dit,
+    convert_t5_encoder,
+    convert_vae,
+)
+from audiolcm_tpu.convert.load_torch import (
+    load_state_dict,
+    load_vocoder_dir,
+    split_lcm_state_dict,
+    strip_prefix,
+)
+from audiolcm_tpu.diffusion.lcm import LCMConfig
+from audiolcm_tpu.diffusion.schedule import NoiseSchedule
+from audiolcm_tpu.pipeline import AudioLCMPipeline, PipelineModules, PipelineParams
+
+SAMPLE_RATE = 16000
+
+
+class Tokenizers:
+    """Host-side tokenization (the only non-XLA step of generation).
+
+    Wraps HF tokenizers loaded from local directories (the reference uses
+    bert-base-uncased + t5-v1_1-large tokenizers, `modules.py:543-549`).
+    """
+
+    def __init__(self, bert_path: str, t5_path: str, max_length: int = 77):
+        from transformers import AutoTokenizer, T5Tokenizer
+
+        self.clap_tokenizer = AutoTokenizer.from_pretrained(bert_path)
+        self.t5_tokenizer = T5Tokenizer.from_pretrained(t5_path)
+        self.max_length = max_length
+
+    def __call__(self, ori_captions: Sequence[str], struct_captions: Sequence[str]):
+        kw = dict(
+            truncation=True,
+            max_length=self.max_length,
+            padding="max_length",
+            return_tensors="np",
+        )
+        clap_ids = self.clap_tokenizer(list(ori_captions), **kw)["input_ids"]
+        t5_ids = self.t5_tokenizer(list(struct_captions), **kw)["input_ids"]
+        return jnp.asarray(clap_ids), jnp.asarray(t5_ids)
+
+
+def build_pipeline(
+    config_path: str,
+    model_path: Optional[str],
+    vocoder_path: str,
+    num_inference_steps: int = 2,
+    guidance_scale: float = 5.0,
+) -> AudioLCMPipeline:
+    """Reference YAML + torch ckpts -> fully converted TPU pipeline."""
+    cfg = cfg_mod.parse_diffusion_config(cfg_mod.load_yaml(config_path))
+    voc_sd, voc_args = load_vocoder_dir(vocoder_path)
+    vocoder = cfg_mod.build_vocoder_from_args(voc_args)
+
+    modules = PipelineModules(
+        dit=cfg.unet,
+        vae=cfg.vae,
+        vocoder=vocoder,
+        clap_text=cfg.cond["clap_text"],
+        t5=cfg.cond["t5"],
+    )
+
+    if model_path is None:
+        raise ValueError("model_path is required for inference")
+    sd = load_state_dict(model_path)
+    parts = split_lcm_state_dict(sd)
+    vcfg = vocoder.config
+    params = PipelineParams(
+        dit=convert_dit(parts["student"], depth=cfg.unet.depth),
+        vae=convert_vae(
+            parts["vae"],
+            num_levels=len(modules.vae.config.ch_mult),
+            num_res_blocks=modules.vae.config.num_res_blocks,
+            down_layers=modules.vae.config.down_layers,
+            attn_layers=modules.vae.config.attn_layers,
+        ),
+        vocoder=convert_bigvgan(
+            voc_sd,
+            num_upsamples=len(vcfg.upsample_rates),
+            num_kernels=len(vcfg.resblock_kernel_sizes),
+            dilations_per_block=len(vcfg.resblock_dilation_sizes[0]),
+            resblock=vcfg.resblock,
+        ),
+        clap_text={
+            "bert": convert_bert(
+                strip_prefix(parts["clap"], "base."),
+                num_layers=modules.clap_text.config.num_layers,
+            ),
+            "projection": {
+                "linear1": {"kernel": parts["clap"]["projection.linear1.weight"].T},
+                "linear2": {"kernel": parts["clap"]["projection.linear2.weight"].T},
+                "layer_norm": {
+                    "scale": parts["clap"]["projection.layer_norm.weight"],
+                    "bias": parts["clap"]["projection.layer_norm.bias"],
+                },
+            },
+        },
+        t5=convert_t5_encoder(parts["t5"], num_layers=modules.t5.config.num_layers),
+        scale_factor=parts["scale_factor"],
+    )
+    to_dev = lambda tree: jax.tree.map(jnp.asarray, tree)
+    params = PipelineParams(
+        dit=to_dev(params.dit),
+        vae=to_dev(params.vae),
+        vocoder=to_dev(params.vocoder),
+        clap_text=to_dev(params.clap_text),
+        t5=to_dev(params.t5),
+        scale_factor=params.scale_factor,
+    )
+    schedule = NoiseSchedule.linear(cfg.timesteps, cfg.linear_start, cfg.linear_end)
+    lcm = LCMConfig(
+        num_inference_steps=num_inference_steps,
+        original_inference_steps=cfg.num_ddim_timesteps,
+        guidance_scale=guidance_scale,
+    )
+    return AudioLCMPipeline(modules, params, schedule, lcm, default_latent_len=cfg.mel_length)
+
+
+def _write_wav(path: str, wav: np.ndarray, sample_rate: int = SAMPLE_RATE) -> None:
+    from scipy.io import wavfile
+
+    wav = np.clip(np.asarray(wav, dtype=np.float32), -1.0, 1.0)
+    wavfile.write(path, sample_rate, wav)
+
+
+def _generate_wavs(
+    pipeline: AudioLCMPipeline,
+    tokenizers: Tokenizers,
+    ori_prompts: List[str],
+    outdir: str,
+    latent_len: Optional[int] = None,
+    seed: int = 0,
+) -> List[str]:
+    os.makedirs(outdir, exist_ok=True)
+    latent_len = latent_len if latent_len is not None else pipeline.default_latent_len
+    struct = [f"<{p}& all>" for p in ori_prompts]
+    clap_ids, t5_ids = tokenizers(ori_prompts, struct)
+    wav, _ = pipeline.generate_jit(jax.random.PRNGKey(seed), clap_ids, t5_ids, latent_len)
+    wav = np.asarray(wav)
+    paths = []
+    for i, p in enumerate(ori_prompts):
+        name = p.strip().replace(" ", "-")
+        path = os.path.join(outdir, f"{name}_0.wav")
+        _write_wav(path, wav[i])
+        paths.append(path)
+    return paths
+
+
+def AudioLCMInfer(
+    ori_prompt: str,
+    config_path: str = "configs/audiolcm.yaml",
+    model_path: str = "./model/000184.ckpt",
+    vocoder_path: str = "./model/vocoder",
+    bert_path: str = "bert-base-uncased",
+    t5_path: str = "t5-v1_1-large",
+    outdir: str = "results/test",
+    seed: int = 0,
+    pipeline: Optional[AudioLCMPipeline] = None,
+    tokenizers: Optional[Tokenizers] = None,
+) -> str:
+    """Single-prompt parity API (`InferAPI.py:103-133`). Returns the wav path."""
+    pipeline = pipeline or build_pipeline(config_path, model_path, vocoder_path)
+    tokenizers = tokenizers or Tokenizers(bert_path, t5_path)
+    return _generate_wavs(pipeline, tokenizers, [ori_prompt], outdir, seed=seed)[0]
+
+
+def AudioLCMBatchInfer(
+    ori_prompts: List[str],
+    config_path: str = "configs/audiolcm.yaml",
+    model_path: str = "./model/000184.ckpt",
+    vocoder_path: str = "./model/vocoder",
+    bert_path: str = "bert-base-uncased",
+    t5_path: str = "t5-v1_1-large",
+    outdir: str = "results/test",
+    seed: int = 0,
+    batch_size: int = 8,
+    pipeline: Optional[AudioLCMPipeline] = None,
+    tokenizers: Optional[Tokenizers] = None,
+) -> str:
+    """Batched parity API (`InferAPI.py:135-166`) — true device batches.
+
+    Returns the last wav path (reference behavior).
+    """
+    pipeline = pipeline or build_pipeline(config_path, model_path, vocoder_path)
+    tokenizers = tokenizers or Tokenizers(bert_path, t5_path)
+    last = None
+    for i in range(0, len(ori_prompts), batch_size):
+        chunk = list(ori_prompts[i : i + batch_size])
+        pad = batch_size - len(chunk)
+        padded = chunk + [""] * pad  # keep the compiled batch shape static
+        paths = _generate_wavs(pipeline, tokenizers, padded, outdir, seed=seed + i)
+        last = paths[len(chunk) - 1]
+    return last

@@ -1,0 +1,53 @@
+"""Device mesh + sharding utilities.
+
+The reference's only distribution strategy is NCCL DDP (SURVEY.md §2.12:
+`main.py:613`, rank-strided batch sharding in `DDPIndexBatchSampler`). The
+TPU-native equivalent is a single-controller jax mesh with a data axis:
+params are replicated, batches are sharded along `data`, and XLA inserts the
+gradient psum over ICI automatically when the jitted loss averages over the
+global batch. A `model` axis is reserved for optional tensor sharding of the
+distillation's three param trees (SURVEY.md §2.12 ZeRO note) even though the
+~150M-param nets don't need TP.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices=None,
+) -> Mesh:
+    """1D data mesh by default; pass axis_names=('data','model') for 2D."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    devs = np.asarray(devices)
+    if len(axis_names) == 1:
+        mesh_devs = devs
+    else:
+        # all devices on data axis, model axis of size 1 unless reshaped by caller
+        mesh_devs = devs.reshape((len(devs),) + (1,) * (len(axis_names) - 1))
+    return Mesh(mesh_devs, axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-dim sharding for array batches."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device-put a pytree of host arrays with the leading dim sharded."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

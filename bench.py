@@ -1,0 +1,84 @@
+"""North-star benchmark: audio-seconds generated per second per chip (RTF).
+
+Runs the full production-size 2-step LCM generation path (token ids ->
+CLAP-BERT+T5 -> 2x DiT -> VAE decode -> BigVGAN x256 -> 160k-sample wav)
+as one jitted XLA program on the available chip, batch 8, 10 s clips.
+Weights are zero/random-initialized (reference checkpoints are not shipped);
+the measured graph is identical to the checkpoint-loaded one.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is against the BASELINE.md north-star of 10x real-time per chip.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def zeros_init(model, *example_args):
+    """Fast parameter tree of zeros with the exact init structure."""
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), *example_args))
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def main():
+    from audiolcm_tpu.diffusion.lcm import LCMConfig
+    from audiolcm_tpu.pipeline import AudioLCMPipeline, PipelineModules, PipelineParams
+
+    batch = 8
+    latent_len = 312  # 10 s: mel 624 frames, wav 159744 samples @16 kHz
+    tok_len = 77
+
+    modules = PipelineModules.default(with_text_encoders=True)
+
+    clap_ids = jnp.zeros((batch, tok_len), dtype=jnp.int32)
+    t5_ids = jnp.zeros((batch, tok_len), dtype=jnp.int32)
+    dit_args = (
+        jnp.zeros((1, latent_len, modules.dit.in_channels)),
+        jnp.zeros((1,), dtype=jnp.int32),
+        jnp.zeros((1, 2 * tok_len, modules.dit.context_dim)),
+        jnp.zeros((1, 256)),
+    )
+    rng = jax.random.PRNGKey(0)
+    params = PipelineParams(
+        dit=zeros_init(modules.dit, *dit_args)["params"],
+        vae=zeros_init(modules.vae, jnp.zeros((1, 16, 80)), rng)["params"],
+        vocoder=zeros_init(modules.vocoder, jnp.zeros((1, 16, 80)))["params"],
+        clap_text=zeros_init(modules.clap_text, clap_ids[:1])["params"],
+        t5=zeros_init(modules.t5, t5_ids[:1])["params"],
+        scale_factor=1.0,
+    )
+    pipe = AudioLCMPipeline(
+        modules, params, lcm_config=LCMConfig(num_inference_steps=2)
+    )
+
+    gen = pipe.generate_jit
+    # compile + warmup
+    wav, _ = gen(rng, clap_ids, t5_ids, latent_len)
+    jax.block_until_ready(wav)
+
+    iters = 5
+    start = time.perf_counter()
+    for i in range(iters):
+        wav, _ = gen(jax.random.PRNGKey(i), clap_ids, t5_ids, latent_len)
+    jax.block_until_ready(wav)
+    elapsed = time.perf_counter() - start
+
+    audio_seconds = iters * batch * (wav.shape[-1] / 16000.0)
+    rtf = audio_seconds / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "audio_sec_generated_per_sec_per_chip_2step_lcm_b8",
+                "value": round(rtf, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / 10.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
