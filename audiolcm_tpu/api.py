@@ -125,15 +125,7 @@ def build_pipeline(
         t5=convert_t5_encoder(parts["t5"], num_layers=modules.t5.config.num_layers),
         scale_factor=parts["scale_factor"],
     )
-    to_dev = lambda tree: jax.tree.map(jnp.asarray, tree)
-    params = PipelineParams(
-        dit=to_dev(params.dit),
-        vae=to_dev(params.vae),
-        vocoder=to_dev(params.vocoder),
-        clap_text=to_dev(params.clap_text),
-        t5=to_dev(params.t5),
-        scale_factor=params.scale_factor,
-    )
+    params = jax.tree.map(jnp.asarray, params)  # PipelineParams is a pytree
     schedule = NoiseSchedule.linear(cfg.timesteps, cfg.linear_start, cfg.linear_end)
     lcm = LCMConfig(
         num_inference_steps=num_inference_steps,

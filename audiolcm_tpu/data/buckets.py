@@ -1,0 +1,42 @@
+"""Static duration-bucket lattice.
+
+The reference pads each batch to its max length rounded to a multiple of 4,
+clamped to [64, 1248] (`joinaudiodataset_anylen.py:210-267`). Arbitrary
+per-batch shapes would force an XLA recompile per new length, so the TPU
+build quantizes batch lengths to a FIXED lattice: each bucket compiles once
+and is reused. Duration-sorted batching (ordered_indices parity) keeps
+padding waste low; contents are padded with the same pad_value (-5, the
+log-mel floor).
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left
+from typing import Sequence
+
+# Multiples of 4 spanning the reference's [64, 1248] clamp range.
+# 312/624 are the 5s/10s production lengths; 1248 = 20 s max.
+DEFAULT_MEL_BUCKETS: tuple = (64, 128, 192, 256, 312, 384, 448, 512, 624, 752, 880, 1000, 1248)
+
+PAD_VALUE = -5.0
+MIN_LEN = 64
+MAX_LEN = 1248
+MIN_FACTOR = 4
+
+
+def bucket_for_length(n: int, lattice: Sequence[int] = DEFAULT_MEL_BUCKETS) -> int:
+    """Smallest bucket >= n (clamped to the largest bucket)."""
+    n = max(MIN_LEN, min(n, lattice[-1]))
+    i = bisect_left(lattice, n)
+    return lattice[min(i, len(lattice) - 1)]
+
+
+def reference_pad_length(lengths: Sequence[int]) -> int:
+    """The reference's exact per-batch pad length (collate_2d semantics):
+    max length clamped to [64, 1248], rounded UP to a multiple of 4."""
+    size = max(lengths)
+    size = min(size, MAX_LEN)
+    size = max(size, MIN_LEN)
+    if size % MIN_FACTOR:
+        size += MIN_FACTOR - size % MIN_FACTOR
+    return size

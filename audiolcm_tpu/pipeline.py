@@ -13,14 +13,17 @@ into ONE jitted XLA program per (batch, duration-bucket) shape:
       -> BigVGAN x256 upsample -> wav (B, 256*T)             (hot loop 2)
 
 Host work is only tokenization and the final device->host wav copy.
+Params are a pytree ARGUMENT of the jitted program (never closure
+constants — baking ~1 GB of weights into the graph multiplies compile
+time and bloats the executable).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Optional, Tuple
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 
@@ -55,8 +58,10 @@ class PipelineModules:
         )
 
 
-@dataclasses.dataclass
+@flax.struct.dataclass
 class PipelineParams:
+    """Parameter pytree: flows through jit as an argument."""
+
     dit: Any
     vae: Any
     vocoder: Any
@@ -85,70 +90,80 @@ class AudioLCMPipeline:
         # mel_length of the config (312 latent frames = 10 s at 62.5 mel fps / 2)
         self.default_latent_len = default_latent_len
 
-    # -- text encoding ------------------------------------------------------
+        self._generate_ctx_jit = jax.jit(self._generate_from_context, static_argnums=(3,))
+        self._generate_ids_jit = jax.jit(self._generate_from_ids, static_argnums=(4,))
 
-    def encode_text_ids(self, clap_ids: jnp.ndarray, t5_ids: jnp.ndarray) -> jnp.ndarray:
+    # -- pure functions (params as explicit args) ---------------------------
+
+    def _encode_text_ids(
+        self, params: PipelineParams, clap_ids: jnp.ndarray, t5_ids: jnp.ndarray
+    ) -> jnp.ndarray:
         """Token ids -> (B, 154, 1024) context (modules.py:567-582 parity:
         CLAP half first, T5 half second, no attention masks)."""
-        z1 = self.modules.clap_text.apply({"params": self.params.clap_text}, clap_ids)
-        z2 = self.modules.t5.apply({"params": self.params.t5}, t5_ids)
+        z1 = self.modules.clap_text.apply({"params": params.clap_text}, clap_ids)
+        z2 = self.modules.t5.apply({"params": params.t5}, t5_ids)
         return jnp.concatenate([z1, z2], axis=1)
 
-    # -- stages -------------------------------------------------------------
-
-    def denoise_fn(self, context: jnp.ndarray):
-        def fn(x, t, w_emb):
-            return self.modules.dit.apply(
-                {"params": self.params.dit}, x, t, context, w_emb
-            )
-
-        return fn
-
-    def sample_latent(
-        self, rng: jax.Array, context: jnp.ndarray, latent_len: int
+    def _sample_latent(
+        self, params: PipelineParams, rng: jax.Array, context: jnp.ndarray, latent_len: int
     ) -> jnp.ndarray:
+        def denoise_fn(x, t, w_emb):
+            return self.modules.dit.apply({"params": params.dit}, x, t, context, w_emb)
+
         batch = context.shape[0]
         shape = (batch, latent_len, self.modules.dit.in_channels)
-        return lcm_sample(
-            self.denoise_fn(context), self.schedule, rng, shape, self.lcm_config
-        )
+        return lcm_sample(denoise_fn, self.schedule, rng, shape, self.lcm_config)
 
-    def decode_latent(self, z: jnp.ndarray) -> jnp.ndarray:
+    def _decode_latent(self, params: PipelineParams, z: jnp.ndarray) -> jnp.ndarray:
         """LCM latent -> mel (B, T, 80); includes 1/scale_factor
         (`decode_first_stage`, lcm_audio.py:392-406)."""
-        z = z / self.params.scale_factor
+        z = z / params.scale_factor
         return self.modules.vae.apply(
-            {"params": self.params.vae}, z, method=AutoencoderKL1D.decode
+            {"params": params.vae}, z, method=AutoencoderKL1D.decode
         )
+
+    def _generate_from_context(
+        self, params: PipelineParams, rng: jax.Array, context: jnp.ndarray, latent_len: int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        z = self._sample_latent(params, rng, context, latent_len)
+        mel = self._decode_latent(params, z)
+        wav = self.modules.vocoder.apply({"params": params.vocoder}, mel)
+        return wav, mel
+
+    def _generate_from_ids(
+        self,
+        params: PipelineParams,
+        rng: jax.Array,
+        clap_ids: jnp.ndarray,
+        t5_ids: jnp.ndarray,
+        latent_len: int,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        context = self._encode_text_ids(params, clap_ids, t5_ids)
+        return self._generate_from_context(params, rng, context, latent_len)
+
+    # -- public API (bound to self.params) ----------------------------------
+
+    def encode_text_ids(self, clap_ids: jnp.ndarray, t5_ids: jnp.ndarray) -> jnp.ndarray:
+        return self._encode_text_ids(self.params, clap_ids, t5_ids)
+
+    def sample_latent(self, rng, context, latent_len: int) -> jnp.ndarray:
+        return self._sample_latent(self.params, rng, context, latent_len)
+
+    def decode_latent(self, z: jnp.ndarray) -> jnp.ndarray:
+        return self._decode_latent(self.params, z)
 
     def vocode(self, mel: jnp.ndarray) -> jnp.ndarray:
         return self.modules.vocoder.apply({"params": self.params.vocoder}, mel)
 
-    # -- fused programs -----------------------------------------------------
+    def generate_from_context(self, rng, context, latent_len: int = 312):
+        return self._generate_from_context(self.params, rng, context, latent_len)
 
-    def generate_from_context(
-        self, rng: jax.Array, context: jnp.ndarray, latent_len: int = 312
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(wav, mel) from a precomputed context embedding."""
-        z = self.sample_latent(rng, context, latent_len)
-        mel = self.decode_latent(z)
-        return self.vocode(mel), mel
+    def generate(self, rng, clap_ids, t5_ids, latent_len: int = 312):
+        return self._generate_from_ids(self.params, rng, clap_ids, t5_ids, latent_len)
 
-    def generate(
-        self,
-        rng: jax.Array,
-        clap_ids: jnp.ndarray,
-        t5_ids: jnp.ndarray,
-        latent_len: int = 312,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        context = self.encode_text_ids(clap_ids, t5_ids)
-        return self.generate_from_context(rng, context, latent_len)
-
-    @functools.cached_property
-    def generate_jit(self):
+    def generate_jit(self, rng, clap_ids, t5_ids, latent_len: int = 312):
         """Jitted token-ids -> waveform program (static latent_len)."""
-        return jax.jit(self.generate, static_argnums=(3,))
+        return self._generate_ids_jit(self.params, rng, clap_ids, t5_ids, latent_len)
 
-    @functools.cached_property
-    def generate_from_context_jit(self):
-        return jax.jit(self.generate_from_context, static_argnums=(2,))
+    def generate_from_context_jit(self, rng, context, latent_len: int = 312):
+        return self._generate_ctx_jit(self.params, rng, context, latent_len)

@@ -1,0 +1,148 @@
+"""Data pipeline tests: buckets, manifests, loaders, mel prep."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from audiolcm_tpu.data import buckets as B
+from audiolcm_tpu.data.datasets import (
+    BucketedBatchLoader,
+    SpecDataset,
+    TwoPoolBatchLoader,
+    collate_pad,
+    collate_tile,
+    SpecSample,
+)
+from audiolcm_tpu.data.manifest import add_name_num, split_dataframe
+from audiolcm_tpu.data.melprep import load_wav_mono_16k, process_tsv
+
+
+def test_bucket_lattice():
+    assert B.bucket_for_length(1) == 64
+    assert B.bucket_for_length(64) == 64
+    assert B.bucket_for_length(65) == 128
+    assert B.bucket_for_length(624) == 624
+    assert B.bucket_for_length(5000) == 1248
+    for b in B.DEFAULT_MEL_BUCKETS:
+        assert b % B.MIN_FACTOR == 0
+
+
+def test_reference_pad_length():
+    # collate_2d semantics: clamp [64,1248], round up to multiple of 4
+    assert B.reference_pad_length([10]) == 64
+    assert B.reference_pad_length([65]) == 68
+    assert B.reference_pad_length([623, 100]) == 624
+    assert B.reference_pad_length([2000]) == 1248
+
+
+def test_split_semantics():
+    df = pd.DataFrame({
+        "name": [f"a{i}" for i in range(150)],
+        "duration": np.arange(150.0),
+    })
+    assert len(split_dataframe(df, "val")) == 100
+    assert len(split_dataframe(df, "train")) == 50
+    dup = pd.DataFrame({"name": ["x", "x", "y"], "duration": [1.0, 2.0, 3.0]})
+    out = add_name_num(dup)
+    assert list(out["name"]) == ["x_0", "x_1", "y_0"]
+
+
+def test_collate_pad_and_tile():
+    mk = lambda t: SpecSample(np.zeros((4, t), np.float32), "c", "<c& all>")
+    batch = collate_pad([mk(100), mk(150)])
+    assert batch["mel"].shape == (2, 4, 192)  # bucket covering 150
+    assert batch["mel"][0, 0, 100] == B.PAD_VALUE
+
+    batch = collate_pad([mk(100), mk(150)], use_bucket_lattice=False)
+    assert batch["mel"].shape == (2, 4, 152)  # reference exact pad
+
+    tiled = collate_tile([mk(100)], target_len=250)
+    assert tiled["mel"].shape == (1, 4, 250)
+
+
+@pytest.fixture
+def manifest_dir(tmp_path):
+    mel_dir = tmp_path / "mels"
+    mel_dir.mkdir()
+    rows = []
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        t = 70 + 10 * i
+        mel = rng.standard_normal((8, t)).astype(np.float32)
+        path = mel_dir / f"m{i}.npy"
+        np.save(path, mel)
+        rows.append({
+            "name": f"clip{i}", "dataset": "test", "ori_cap": f"caption {i}",
+            "caption": f"<caption {i}& all>", "mel_path": str(path),
+            "audio_path": f"/none/{i}.wav", "duration": t / 62.5,
+        })
+    df = pd.DataFrame(rows)
+    df.to_csv(tmp_path / "data.tsv", sep="\t", index=False)
+    return str(tmp_path)
+
+
+def test_bucketed_loader_sharding(manifest_dir):
+    ds = SpecDataset("test", manifest_dir, mel_num=8)
+    loaders = [
+        BucketedBatchLoader(ds, batch_size=2, num_replicas=2, rank=r, shuffle=False)
+        for r in range(2)
+    ]
+    n0, n1 = len(loaders[0]), len(loaders[1])
+    assert n0 + n1 == 6  # 12 rows / bs 2
+    seen = set()
+    for loader in loaders:
+        for batch in loader:
+            assert batch["mel"].shape[0] == 2
+            assert batch["mel"].shape[2] in B.DEFAULT_MEL_BUCKETS
+            seen.update(batch["names"])
+    assert len(seen) == 12  # disjoint shard coverage
+
+
+def test_loader_epoch_reshuffle(manifest_dir):
+    ds = SpecDataset("test", manifest_dir, mel_num=8)
+    loader = BucketedBatchLoader(ds, batch_size=2, shuffle=True, seed=1)
+    first = [b["names"] for b in loader]
+    loader.set_epoch(1)
+    second = [b["names"] for b in loader]
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+    assert first != second  # different order across epochs
+
+
+def test_two_pool_loader(manifest_dir):
+    ds = SpecDataset("test", manifest_dir, mel_num=8)
+    main = BucketedBatchLoader(ds, batch_size=2, shuffle=False)
+    other = BucketedBatchLoader(ds, batch_size=2, shuffle=False)
+    batches = list(TwoPoolBatchLoader(main, other))
+    assert len(batches) == 2 * len(main)
+
+
+def test_melprep_roundtrip(tmp_path):
+    from scipy.io import wavfile
+
+    sr = 16000
+    wav = (np.sin(2 * np.pi * 440 * np.arange(sr) / sr) * 0.5).astype(np.float32)
+    wav_path = tmp_path / "tone.wav"
+    wavfile.write(wav_path, sr, (wav * 32767).astype(np.int16))
+    df = pd.DataFrame({
+        "name": ["tone"], "dataset": ["t"], "ori_cap": ["a tone"],
+        "audio_path": [str(wav_path)],
+    })
+    tsv = tmp_path / "in.tsv"
+    df.to_csv(tsv, sep="\t", index=False)
+
+    out = process_tsv(str(tsv), mel_dir=str(tmp_path / "mels"))
+    assert len(out) == 1
+    mel = np.load(out.iloc[0]["mel_path"])
+    assert mel.shape[0] == 80
+    assert abs(mel.shape[1] - 62.5) <= 1  # ~62.5 frames for 1 s
+    assert abs(out.iloc[0]["duration"] - 1.0) < 0.01
+
+    # 44.1k stereo resample path
+    wav2 = np.stack([wav, wav], axis=1)
+    wav_path2 = tmp_path / "stereo.wav"
+    wavfile.write(wav_path2, 44100, (wav2 * 32767).astype(np.int16))
+    loaded = load_wav_mono_16k(str(wav_path2))
+    assert loaded.ndim == 1
+    assert abs(len(loaded) - 16000 / 44100 * len(wav)) < 10

@@ -1,0 +1,94 @@
+"""Eval harness tests: FAD math, CLAP score plumbing, Cnn14 tower."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from audiolcm_tpu.eval.clap_score import clap_score, cosine_diag, prepare_clap_audio
+from audiolcm_tpu.eval.fad import embedding_statistics, fad_score, frechet_distance
+from audiolcm_tpu.models.clap_audio import ClapAudioConfig, Cnn14, logmel_torchlibrosa
+
+
+def test_frechet_distance_zero_for_identical():
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((200, 8))
+    mu, sigma = embedding_statistics(emb)
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+
+def test_frechet_distance_mean_shift():
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((5000, 4))
+    mu, sigma = embedding_statistics(emb)
+    d = frechet_distance(mu, sigma, mu + 2.0, sigma)
+    assert abs(d - 4.0 * 4) < 0.5  # ||2*ones(4)||^2 = 16
+
+
+def test_fad_score_pluggable_embedding():
+    rng = np.random.default_rng(0)
+    embed = lambda w: w.reshape(1, -1)[:, :8]
+    gen = [rng.standard_normal(16).astype(np.float32) for _ in range(64)]
+    bg = [rng.standard_normal(16).astype(np.float32) for _ in range(64)]
+    d_same = fad_score(embed, gen, gen)
+    d_diff = fad_score(embed, gen, [g + 3 for g in bg])
+    assert d_same < 1e-6
+    assert d_diff > 1.0
+
+
+def test_prepare_clap_audio_repeat_pad():
+    wav = np.ones(16000, dtype=np.float32)  # 1 s @16k
+    out = prepare_clap_audio(wav, duration_s=5.0)
+    assert out.shape == (5 * 44100,)
+    long = np.ones(16000 * 10, dtype=np.float32)
+    out = prepare_clap_audio(long, duration_s=5.0)
+    assert out.shape == (5 * 44100,)
+
+
+def test_cosine_diag():
+    t = jnp.asarray([[1.0, 0.0], [0.0, 2.0]])
+    a = jnp.asarray([[2.0, 0.0], [0.0, -1.0]])
+    np.testing.assert_allclose(np.asarray(cosine_diag(t, a)), [1.0, -1.0], atol=1e-6)
+
+
+def test_clap_score_end_to_end_stub():
+    text_fn = lambda caps: jnp.asarray([[1.0, 0.0]] * len(caps))
+    audio_fn = lambda wavs: jnp.asarray([[1.0, 0.0]] * wavs.shape[0])
+    wavs = [np.ones(16000, dtype=np.float32)] * 3
+    s = clap_score(text_fn, audio_fn, ["a", "b", "c"], wavs, batch_size=2)
+    assert abs(s - 1.0) < 1e-6
+
+
+def test_logmel_torchlibrosa_matches_torch(rng):
+    """Golden vs the documented torchlibrosa math (center=True power stft +
+    slaney mel + power_to_db) re-derived with torch."""
+    import torch
+
+    cfg = ClapAudioConfig(sample_rate=8000, window_size=64, hop_size=32,
+                          mel_bins=8, fmin=50, fmax=4000)
+    wav = rng.standard_normal((2, 1000)).astype(np.float32) * 0.1
+    ours = np.asarray(logmel_torchlibrosa(jnp.asarray(wav), cfg))
+
+    from audiolcm_tpu.dsp.mel import mel_filterbank
+
+    y = torch.nn.functional.pad(
+        torch.from_numpy(wav)[:, None, :], (32, 32), mode="reflect"
+    )[:, 0]
+    spec = torch.stft(y, 64, hop_length=32, win_length=64,
+                      window=torch.hann_window(64), center=False,
+                      return_complex=True)
+    power = spec.real**2 + spec.imag**2 + 1e-9  # matches our magnitude eps
+    melW = torch.from_numpy(mel_filterbank(8000, 64, 8, 50, 4000))
+    mel = torch.einsum("mf,bft->btm", melW, power)
+    golden = 10.0 * torch.log10(torch.clamp(mel, min=1e-10))
+    np.testing.assert_allclose(ours, golden.numpy(), atol=1e-2)
+
+
+def test_cnn14_shapes():
+    cfg = ClapAudioConfig(sample_rate=8000, window_size=64, hop_size=32,
+                          mel_bins=64, fmin=50, fmax=4000, out_emb=32)
+    model = Cnn14(cfg)
+    wav = jnp.zeros((1, 8000))
+    variables = model.init(jax.random.PRNGKey(0), wav)
+    out = model.apply(variables, wav)
+    assert out.shape == (1, 32)

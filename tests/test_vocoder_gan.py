@@ -1,0 +1,77 @@
+"""Vocoder GAN trainer smoke tests with tiny models."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from audiolcm_tpu.dsp.mel import MelConfig
+from audiolcm_tpu.models.bigvgan import BigVGAN, BigVGANConfig
+from audiolcm_tpu.models.vocoder_discriminators import (
+    MultiPeriodDiscriminator,
+    MultiResolutionDiscriminator,
+)
+from audiolcm_tpu.train.vocoder_gan import (
+    VocoderGANConfig,
+    feature_matching_loss,
+    lsgan_d_loss,
+    lsgan_g_loss,
+    make_vocoder_gan_steps,
+)
+
+
+def test_losses_match_reference_formulas():
+    r = [jnp.ones((2, 4))]
+    g = [jnp.zeros((2, 4))]
+    assert float(lsgan_d_loss(r, g)) == 0.0
+    assert float(lsgan_g_loss(g)) == 1.0
+    fm = feature_matching_loss([[jnp.ones((2, 3))]], [[jnp.zeros((2, 3))]])
+    assert float(fm) == 2.0  # 2 * mean|1-0|
+
+
+def test_discriminators_shapes():
+    mpd = MultiPeriodDiscriminator(periods=(2, 3))
+    mrd = MultiResolutionDiscriminator(resolutions=((128, 32, 64),))
+    wav = jnp.zeros((2, 512))
+    p1 = mpd.init(jax.random.PRNGKey(0), wav, wav)
+    reals, fakes, fr, fg = mpd.apply(p1, wav, wav)
+    assert len(reals) == 2 and len(fr[0]) == 6
+    p2 = mrd.init(jax.random.PRNGKey(0), wav, wav)
+    reals, fakes, fr, fg = mrd.apply(p2, wav, wav)
+    assert len(reals) == 1 and len(fr[0]) == 6
+    # identical inputs -> identical logits
+    np.testing.assert_allclose(np.asarray(reals[0]), np.asarray(fakes[0]))
+
+
+def test_vocoder_gan_steps_run():
+    gen = BigVGAN(
+        BigVGANConfig(num_mels=8, upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                      upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+                      resblock_dilation_sizes=((1,),))
+    )
+    mpd = MultiPeriodDiscriminator(periods=(2,))
+    mrd = MultiResolutionDiscriminator(resolutions=((64, 16, 32),))
+    rng = jax.random.PRNGKey(0)
+    mel = jax.random.normal(rng, (1, 32, 8))
+    wav = jax.random.normal(rng, (1, 32 * 8)) * 0.1
+
+    gen_params = gen.init(rng, mel)["params"]
+    mpd_params = mpd.init(rng, wav, wav)["params"]
+    mrd_params = mrd.init(rng, wav, wav)["params"]
+
+    mel_cfg = MelConfig(sample_rate=16000, n_fft=64, win_size=64, hop_size=32, n_mels=8,
+                        fmin=125.0, fmax=7600.0)
+    gen_step, disc_step, init_state = make_vocoder_gan_steps(
+        lambda p, m: gen.apply({"params": p}, m),
+        lambda p, y, yh: mpd.apply({"params": p}, y, yh),
+        lambda p, y, yh: mrd.apply({"params": p}, y, yh),
+        VocoderGANConfig(learning_rate=1e-4),
+        mel_cfg,
+    )
+    state = init_state(gen_params, mpd_params, mrd_params)
+    state, dm = jax.jit(disc_step)(state, mel, wav)
+    state, gm = jax.jit(gen_step)(state, mel, wav)
+    for k in ("train/gen_loss", "train/mel_loss", "train/fm_loss", "train/adv_loss"):
+        assert np.isfinite(float(gm[k])), k
+    assert np.isfinite(float(dm["train/disc_loss"]))
+    assert int(state.step) == 1
