@@ -92,8 +92,11 @@ def build_pipeline(
     sd = load_state_dict(model_path)
     parts = split_lcm_state_dict(sd)
     vcfg = vocoder.config
+    # LCM ckpts carry the student under unet.*; plain teacher ckpts only
+    # have model.diffusion_model.* (`lcm_audio.py:107` vs `ddpm.py:86`)
+    dit_sd = parts["student"] if parts["student"] else parts["teacher"]
     params = PipelineParams(
-        dit=convert_dit(parts["student"], depth=cfg.unet.depth),
+        dit=convert_dit(dit_sd, depth=cfg.unet.depth),
         vae=convert_vae(
             parts["vae"],
             num_levels=len(modules.vae.config.ch_mult),

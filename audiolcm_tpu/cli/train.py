@@ -211,19 +211,203 @@ def _build_tile_loader(cfg, batch_size, spec_len):
     return loader
 
 
-def run_teacher_training(cfg, args, logdir, ndev, batch_size):
-    raise NotImplementedError(
-        "teacher training wiring requires cached VAE latents; see "
-        "audiolcm_tpu.train.teacher for the jitted step and tests/test_training.py "
-        "for the composition pattern"
+def _load_diffusion_ckpt_parts(cfg, ckpt_path):
+    """Load and convert every sub-model of an LCM/teacher Lightning ckpt."""
+    from audiolcm_tpu import config as cfg_mod
+    from audiolcm_tpu.convert import (
+        convert_bert,
+        convert_dit,
+        convert_t5_encoder,
+        convert_vae,
+    )
+    from audiolcm_tpu.convert.load_torch import (
+        load_state_dict,
+        split_lcm_state_dict,
+        strip_prefix,
+    )
+
+    sys_cfg = cfg_mod.parse_diffusion_config(cfg)
+    sd = load_state_dict(ckpt_path)
+    parts = split_lcm_state_dict(sd)
+    vcfg = sys_cfg.vae.config
+    conv_vae = lambda d: convert_vae(
+        d, num_levels=len(vcfg.ch_mult), num_res_blocks=vcfg.num_res_blocks,
+        down_layers=vcfg.down_layers, attn_layers=vcfg.attn_layers,
+    )
+    out = {"sys": sys_cfg, "scale_factor": parts["scale_factor"]}
+    out["vae"] = conv_vae(parts["vae"]) if parts["vae"] else None
+    for k in ("teacher", "student", "target"):
+        out[k] = convert_dit(parts[k], depth=sys_cfg.unet.depth) if parts[k] else None
+    clap_tower = sys_cfg.cond["clap_text"]
+    t5_tower = sys_cfg.cond["t5"]
+    if parts["clap"]:
+        out["clap_text"] = {
+            "bert": convert_bert(
+                strip_prefix(parts["clap"], "base."),
+                num_layers=clap_tower.config.num_layers,
+            ),
+            "projection": {
+                "linear1": {"kernel": parts["clap"]["projection.linear1.weight"].T},
+                "linear2": {"kernel": parts["clap"]["projection.linear2.weight"].T},
+                "layer_norm": {
+                    "scale": parts["clap"]["projection.layer_norm.weight"],
+                    "bias": parts["clap"]["projection.layer_norm.bias"],
+                },
+            },
+        }
+    else:
+        out["clap_text"] = None
+    out["t5"] = (
+        convert_t5_encoder(parts["t5"], num_layers=t5_tower.config.num_layers)
+        if parts["t5"]
+        else None
+    )
+    return out
+
+
+def _make_frozen_stages(sys_cfg, parts, bert_path, t5_path, max_length=77):
+    """Host tokenization + jitted frozen text/VAE encoders shared by the
+    teacher and distillation trainers."""
+    from audiolcm_tpu.api import Tokenizers
+    from audiolcm_tpu.models.vae1d import AutoencoderKL1D, DiagonalGaussian
+
+    tokenizers = Tokenizers(bert_path, t5_path, max_length)
+    clap_tower, t5_tower = sys_cfg.cond["clap_text"], sys_cfg.cond["t5"]
+    clap_p = jax.tree.map(jnp.asarray, parts["clap_text"])
+    t5_p = jax.tree.map(jnp.asarray, parts["t5"])
+    vae_p = jax.tree.map(jnp.asarray, parts["vae"])
+    vae = sys_cfg.vae
+
+    @jax.jit
+    def encode_context(clap_ids, t5_ids):
+        z1 = clap_tower.apply({"params": clap_p}, clap_ids)
+        z2 = t5_tower.apply({"params": t5_p}, t5_ids)
+        return jnp.concatenate([z1, z2], axis=1)
+
+    @jax.jit
+    def encode_latent(mel_btc, rng, scale_factor):
+        moments = vae.apply({"params": vae_p}, mel_btc,
+                            method=AutoencoderKL1D.encode_moments)
+        z = DiagonalGaussian(moments).sample(rng)
+        return z * scale_factor
+
+    def batch_to_device(batch, rng, scale_factor):
+        clap_ids, t5_ids = tokenizers(batch["ori_caption"], batch["struct_caption"])
+        context = encode_context(clap_ids, t5_ids)
+        mel_btc = jnp.asarray(batch["mel"].transpose(0, 2, 1))
+        z = encode_latent(mel_btc, rng, scale_factor)
+        return z, context
+
+    uncond_ids = tokenizers([""], [""])
+    uncond_context = encode_context(*uncond_ids)
+    return batch_to_device, uncond_context, encode_latent
+
+
+def run_teacher_training(cfg, args, logdir, ndev, batch_size,
+                         bert_path="bert-base-uncased", t5_path="t5-v1_1-large"):
+    """Teacher LDM training (`configs/teacher.yaml` path)."""
+    from audiolcm_tpu.diffusion.schedule import NoiseSchedule
+    from audiolcm_tpu.train.checkpoints import CheckpointManager
+    from audiolcm_tpu.train.loop import Trainer, scale_learning_rate
+    from audiolcm_tpu.train.teacher import (
+        TeacherConfig,
+        init_teacher_state,
+        make_teacher_step,
+    )
+
+    ckpt_path = args.resume or cfg["model"]["params"].get("ckpt_path")
+    parts = _load_diffusion_ckpt_parts(cfg, ckpt_path)
+    sys_cfg = parts["sys"]
+    schedule = NoiseSchedule.linear(sys_cfg.timesteps, sys_cfg.linear_start,
+                                    sys_cfg.linear_end)
+    batch_to_device, _, _ = _make_frozen_stages(sys_cfg, parts, bert_path, t5_path)
+
+    dit = sys_cfg.unet
+
+    def dit_apply(p, x, t, ctx, w=None):
+        return dit.apply({"params": p}, x, t, ctx, w)
+
+    tcfg = TeacherConfig(
+        learning_rate=scale_learning_rate(sys_cfg.base_learning_rate, batch_size, ndev)
+    )
+    step = jax.jit(make_teacher_step(dit_apply, schedule, tcfg))
+    params = jax.tree.map(jnp.asarray, parts["teacher"])
+    state = init_teacher_state(params, tcfg)
+    scale_factor = parts["scale_factor"]
+
+    def step_fn(state, batch, rng):
+        r_enc, r_step = jax.random.split(rng)
+        z, context = batch_to_device(batch, r_enc, scale_factor)
+        return step(state, z, context, r_step)
+
+    loader_obj = _build_loader(cfg, batch_size)
+    ckpt = CheckpointManager(os.path.join(logdir, "checkpoints"))
+    Trainer(step_fn, state, logdir, checkpoints=ckpt).fit(
+        lambda e: (loader_obj.set_epoch(e), iter(loader_obj))[1],
+        num_epochs=args.max_epochs, rng=jax.random.PRNGKey(args.seed),
     )
 
 
-def run_lcm_training(cfg, args, logdir, ndev, batch_size):
-    raise NotImplementedError(
-        "LCM distillation wiring requires teacher+VAE checkpoints; see "
-        "audiolcm_tpu.train.lcm_distill for the jitted step and "
-        "__graft_entry__.dryrun_multichip for the mesh composition"
+def run_lcm_training(cfg, args, logdir, ndev, batch_size,
+                     bert_path="bert-base-uncased", t5_path="t5-v1_1-large"):
+    """LCM consistency distillation (`configs/audiolcm.yaml` path).
+
+    Teacher weights come from model.params.ckpt_path (maa2.ckpt); student
+    and target are initialized from the teacher (`lcm_audio.py:107-114`).
+    scale_by_std: if the ckpt carries no scale_factor, it is computed as
+    1/std of the first batch's latents (`lcm_audio.py:123-138`).
+    """
+    from audiolcm_tpu.diffusion.schedule import NoiseSchedule
+    from audiolcm_tpu.train.checkpoints import CheckpointManager
+    from audiolcm_tpu.train.lcm_distill import (
+        Batch,
+        LCMDistillConfig,
+        init_train_state,
+        make_lcm_distill_step,
+    )
+    from audiolcm_tpu.train.loop import Trainer, scale_learning_rate
+
+    ckpt_path = args.resume or cfg["model"]["params"].get("ckpt_path")
+    parts = _load_diffusion_ckpt_parts(cfg, ckpt_path)
+    sys_cfg = parts["sys"]
+    schedule = NoiseSchedule.linear(sys_cfg.timesteps, sys_cfg.linear_start,
+                                    sys_cfg.linear_end)
+    batch_to_device, uncond_context, _ = _make_frozen_stages(
+        sys_cfg, parts, bert_path, t5_path
+    )
+
+    dit = sys_cfg.unet
+
+    def dit_apply(p, x, t, ctx, w=None):
+        return dit.apply({"params": p}, x, t, ctx, w)
+
+    dcfg = LCMDistillConfig(
+        num_ddim_timesteps=sys_cfg.num_ddim_timesteps,
+        w_min=sys_cfg.w_min, w_max=sys_cfg.w_max,
+        learning_rate=scale_learning_rate(sys_cfg.base_learning_rate, batch_size, ndev),
+    )
+    teacher = jax.tree.map(jnp.asarray, parts["teacher"])
+    student_init = parts["student"] if parts["student"] else parts["teacher"]
+    state = init_train_state(jax.tree.map(jnp.asarray, student_init), dcfg)
+    if parts["target"]:
+        state = state._replace(target=jax.tree.map(jnp.asarray, parts["target"]))
+    step = jax.jit(make_lcm_distill_step(dit_apply, schedule, dcfg))
+
+    scale_holder = {"scale": parts["scale_factor"]}
+
+    def step_fn(state, batch, rng):
+        r_enc, r_step = jax.random.split(rng)
+        z, context = batch_to_device(batch, r_enc, 1.0)
+        if sys_cfg.scale_by_std and scale_holder["scale"] == 1.0:
+            scale_holder["scale"] = float(1.0 / jnp.std(z))  # first-batch std rescale
+        z = z * scale_holder["scale"]
+        return step(state, teacher, Batch(z=z, context=context), uncond_context, r_step)
+
+    loader_obj = _build_loader(cfg, batch_size)
+    ckpt = CheckpointManager(os.path.join(logdir, "checkpoints"))
+    Trainer(step_fn, state, logdir, checkpoints=ckpt).fit(
+        lambda e: (loader_obj.set_epoch(e), iter(loader_obj))[1],
+        num_epochs=args.max_epochs, rng=jax.random.PRNGKey(args.seed),
     )
 
 

@@ -49,12 +49,26 @@ def parse_args(argv: Optional[List[str]] = None):
     return p.parse_args(argv)
 
 
-def _gen_batch(pipeline, tokenizers, prompts: List[dict], latent_len: int, seed: int):
+def _gen_batch(pipeline, tokenizers, prompts: List[dict], latent_len: int, seed: int,
+               teacher_opts: Optional[dict] = None):
     """prompts: [{'ori_caption','struct_caption'}]. Returns (B, T_wav) numpy."""
     clap_ids, t5_ids = tokenizers(
         [p["ori_caption"] for p in prompts], [p["struct_caption"] for p in prompts]
     )
-    wav, mel = pipeline.generate_jit(jax.random.PRNGKey(seed), clap_ids, t5_ids, latent_len)
+    if teacher_opts is not None:
+        context = pipeline.encode_text_ids(clap_ids, t5_ids)
+        uc_ids = tokenizers([""], [""])
+        uncond = pipeline.encode_text_ids(*uc_ids)
+        wav, mel = pipeline.generate_teacher(
+            jax.random.PRNGKey(seed), context, uncond, latent_len,
+            num_steps=teacher_opts["steps"],
+            guidance_scale=teacher_opts["scale"],
+            use_plms=teacher_opts["plms"],
+        )
+    else:
+        wav, mel = pipeline.generate_jit(
+            jax.random.PRNGKey(seed), clap_ids, t5_ids, latent_len
+        )
     return np.asarray(wav), np.asarray(mel)
 
 
@@ -72,6 +86,12 @@ def main(argv: Optional[List[str]] = None):
     )
     tokenizers = Tokenizers(opt.bert_path, opt.t5_path)
     latent_len = opt.W
+    # teacher path: DDIM/PLMS over the frozen teacher net (--ddim_steps 100)
+    teacher_opts = (
+        {"steps": opt.ddim_steps, "scale": opt.scale, "plms": opt.plms}
+        if (opt.teacher or opt.plms)
+        else None
+    )
 
     records = []
     if opt.test_dataset != "none":
@@ -88,7 +108,8 @@ def main(argv: Optional[List[str]] = None):
             prompts = [it["caption"] for it in chunk] + [
                 {"ori_caption": "", "struct_caption": ""}
             ] * pad
-            wavs, _ = _gen_batch(pipeline, tokenizers, prompts, latent_len, opt.seed + start)
+            wavs, _ = _gen_batch(pipeline, tokenizers, prompts, latent_len,
+                                 opt.seed + start, teacher_opts)
             for it, wav in zip(chunk, wavs):
                 f_name = it["f_name"]
                 split_at = f_name.rfind("_")
@@ -113,7 +134,8 @@ def main(argv: Optional[List[str]] = None):
             pdicts = [
                 {"ori_caption": c, "struct_caption": f"<{c}& all>"} for c in chunk
             ] + [{"ori_caption": "", "struct_caption": ""}] * pad
-            wavs, _ = _gen_batch(pipeline, tokenizers, pdicts, latent_len, opt.seed + start)
+            wavs, _ = _gen_batch(pipeline, tokenizers, pdicts, latent_len,
+                                 opt.seed + start, teacher_opts)
             for c, wav in zip(chunk, wavs):
                 name = c.replace(" ", "-")
                 _write_wav(os.path.join(opt.outdir, f"{name}_0.wav"), wav, opt.sample_rate)

@@ -76,16 +76,17 @@ class BasicTransformerBlock(nn.Module):
 
     dim: int
     num_heads: int
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         head_dim = self.dim // self.num_heads
-        x = x + MultiHeadSelfAttention(self.num_heads, head_dim, name="attn1")(
-            nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        )
-        x = x + MultiHeadSelfAttention(self.num_heads, head_dim, name="attn2")(
-            nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        )
+        x = x + MultiHeadSelfAttention(
+            self.num_heads, head_dim, self.use_flash, name="attn1"
+        )(nn.LayerNorm(epsilon=1e-5, name="norm1")(x))
+        x = x + MultiHeadSelfAttention(
+            self.num_heads, head_dim, self.use_flash, name="attn2"
+        )(nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
         x = x + Conv1dGEGLUFeedForward(self.dim, name="ff")(
             nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         )
@@ -99,6 +100,7 @@ class TemporalTransformer(nn.Module):
     num_heads: int
     inner_depth: int = 1
     remat: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -109,7 +111,7 @@ class TemporalTransformer(nn.Module):
             block = BasicTransformerBlock
             if self.remat:
                 block = nn.remat(block)
-            h = block(self.dim, self.num_heads, name=f"block_{i}")(h)
+            h = block(self.dim, self.num_heads, self.use_flash, name=f"block_{i}")(h)
         h = nn.Dense(
             self.dim,
             kernel_init=nn.initializers.zeros,
@@ -133,6 +135,7 @@ class ConcatDiT2MLP(nn.Module):
     num_heads: int = 8
     max_len: int = 1000
     remat: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -170,7 +173,8 @@ class ConcatDiT2MLP(nn.Module):
 
         for i in range(self.depth):
             h = TemporalTransformer(
-                self.hidden_size, self.num_heads, remat=self.remat, name=f"blocks_{i}"
+                self.hidden_size, self.num_heads, remat=self.remat,
+                use_flash=self.use_flash, name=f"blocks_{i}"
             )(h)
 
         h = h[:, extra_len:, :]

@@ -29,10 +29,16 @@ def dot_product_attention(
 
 
 class MultiHeadSelfAttention(nn.Module):
-    """Self-attention over (B, T, C) with separate q/k/v projections."""
+    """Self-attention over (B, T, C) with separate q/k/v projections.
+
+    use_flash=True routes through the Pallas flash kernel
+    (nn/pallas_attention.py) — TPU-compiled only; the default XLA einsum
+    path is used for CPU tests and tiny shapes.
+    """
 
     num_heads: int
     head_dim: int
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -46,7 +52,12 @@ class MultiHeadSelfAttention(nn.Module):
 
         b, t, _ = x.shape
         split = lambda a: a.reshape(b, t, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
-        out = dot_product_attention(split(q), split(k), split(v), self.head_dim**-0.5)
+        if self.use_flash:
+            from audiolcm_tpu.nn.pallas_attention import flash_attention
+
+            out = flash_attention(split(q), split(k), split(v), self.head_dim**-0.5)
+        else:
+            out = dot_product_attention(split(q), split(k), split(v), self.head_dim**-0.5)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
         return nn.Dense(
             x.shape[-1], kernel_init=nn.initializers.xavier_uniform(), name="to_out"

@@ -59,7 +59,9 @@ def _depthwise_conv(
 ) -> jnp.ndarray:
     """Shared-filter depthwise conv on (B, T, C); filt: (K,)."""
     channels = x.shape[-1]
-    kernel = jnp.broadcast_to(filt[:, None, None], (filt.shape[0], 1, channels))
+    kernel = jnp.broadcast_to(
+        filt.astype(x.dtype)[:, None, None], (filt.shape[0], 1, channels)
+    )
     # HIGHEST precision: these anti-aliasing filters shape the final audio
     # band edge; bf16 MXU accumulation here costs audible error while the
     # op itself is a tiny depthwise conv (negligible FLOPs).

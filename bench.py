@@ -24,14 +24,38 @@ def zeros_init(model, *example_args):
 
 
 def main():
+    import os
+
+    import jax.numpy as jnp
+
     from audiolcm_tpu.diffusion.lcm import LCMConfig
-    from audiolcm_tpu.pipeline import AudioLCMPipeline, PipelineModules, PipelineParams
+    from audiolcm_tpu.models.bigvgan import BigVGAN, BigVGANConfig
+    from audiolcm_tpu.models.clap_text import BertConfig, ClapTextEncoder
+    from audiolcm_tpu.models.dit import ConcatDiT2MLP
+    from audiolcm_tpu.models.t5_encoder import T5Config, T5Encoder
+    from audiolcm_tpu.models.vae1d import AutoencoderKL1D, VAEConfig
+    from audiolcm_tpu.pipeline import (
+        AudioLCMPipeline,
+        PipelineModules,
+        PipelineParams,
+        cast_params,
+    )
 
     batch = 8
     latent_len = 312  # 10 s: mel 624 frames, wav 159744 samples @16 kHz
     tok_len = 77
+    # serving config: bf16 weights/activations, Pallas flash attention
+    dtype_name = os.environ.get("AUDIOLCM_BENCH_DTYPE", "bfloat16")
+    compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    use_flash = jax.default_backend() == "tpu"
 
-    modules = PipelineModules.default(with_text_encoders=True)
+    modules = PipelineModules(
+        dit=ConcatDiT2MLP(use_flash=use_flash),
+        vae=AutoencoderKL1D(VAEConfig()),
+        vocoder=BigVGAN(BigVGANConfig()),
+        clap_text=ClapTextEncoder(BertConfig()),
+        t5=T5Encoder(T5Config()),
+    )
 
     clap_ids = jnp.zeros((batch, tok_len), dtype=jnp.int32)
     t5_ids = jnp.zeros((batch, tok_len), dtype=jnp.int32)
@@ -50,8 +74,10 @@ def main():
         t5=zeros_init(modules.t5, t5_ids[:1])["params"],
         scale_factor=1.0,
     )
+    params = cast_params(params, compute_dtype)
     pipe = AudioLCMPipeline(
-        modules, params, lcm_config=LCMConfig(num_inference_steps=2)
+        modules, params, lcm_config=LCMConfig(num_inference_steps=2),
+        compute_dtype=compute_dtype,
     )
 
     gen = pipe.generate_jit
