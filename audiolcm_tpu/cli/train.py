@@ -82,21 +82,40 @@ def _make_logdir(root: str, name: str, base_paths: List[str]) -> str:
     return logdir
 
 
-def _build_loader(cfg: dict, batch_size: int):
+def _build_loader(cfg: dict, batch_size: int, split: str = "train"):
     from audiolcm_tpu.data.datasets import BucketedBatchLoader, SpecDataset
 
     data_params = cfg.get("data", {}).get("params", {})
     spec_dir = data_params.get("spec_dir_path")
     if spec_dir is None:
         raise ValueError("data.params.spec_dir_path is required for training")
-    train_ds = SpecDataset("train", spec_dir, mel_num=data_params.get("mel_num", 80))
+    ds = SpecDataset(split, spec_dir, mel_num=data_params.get("mel_num", 80))
     loader = BucketedBatchLoader(
-        train_ds,
+        ds,
         batch_size,
         num_replicas=jax.process_count(),
         rank=jax.process_index(),
+        shuffle=(split == "train"),
     )
     return loader
+
+
+def _make_val_fn(step_fn, val_loader, num_batches: int = 5):
+    """validation_step parity: the same losses on val batches with fixed rng
+    (`ddpm.py:358-365`); state/optimizer updates are discarded."""
+
+    def val_fn(state, epoch):
+        vals: dict = {}
+        for i, batch in zip(range(num_batches), val_loader):
+            _, metrics = step_fn(state, batch, jax.random.PRNGKey(1234 + i))
+            for k, v in metrics.items():
+                try:
+                    vals.setdefault(k.replace("train/", "val/"), []).append(float(v))
+                except (TypeError, ValueError):
+                    pass
+        return {k: float(np.mean(v)) for k, v in vals.items()}
+
+    return val_fn
 
 
 def main(argv: Optional[List[str]] = None) -> None:
@@ -186,19 +205,21 @@ def run_vae_training(cfg, args, logdir, ndev, batch_size):
         return state, {**gm, **dm}
 
     loader = _build_tile_loader(cfg, batch_size, spec_len)
+    val_loader = _build_tile_loader(cfg, batch_size, spec_len, split="valid")
     ckpt = CheckpointManager(os.path.join(logdir, "checkpoints"),
                              monitor=None, max_to_keep=3)
-    Trainer(step_fn, state, logdir, checkpoints=ckpt).fit(
-        loader, num_epochs=args.max_epochs, rng=jax.random.PRNGKey(args.seed)
-    )
+    Trainer(
+        step_fn, state, logdir, checkpoints=ckpt,
+        val_fn=_make_val_fn(step_fn, val_loader(0)),
+    ).fit(loader, num_epochs=args.max_epochs, rng=jax.random.PRNGKey(args.seed))
 
 
-def _build_tile_loader(cfg, batch_size, spec_len):
+def _build_tile_loader(cfg, batch_size, spec_len, split="train"):
     from audiolcm_tpu.data.datasets import SpecDataset, collate_tile
 
     data_params = cfg.get("data", {}).get("params", {})
     spec_dir = data_params["spec_dir_path"]
-    ds = SpecDataset("train", spec_dir, mel_num=data_params.get("mel_num", 80))
+    ds = SpecDataset(split, spec_dir, mel_num=data_params.get("mel_num", 80))
 
     def loader(epoch):
         import numpy as np
@@ -341,8 +362,12 @@ def run_teacher_training(cfg, args, logdir, ndev, batch_size,
         return step(state, z, context, r_step)
 
     loader_obj = _build_loader(cfg, batch_size)
+    val_loader = _build_loader(cfg, batch_size, split="valid")
     ckpt = CheckpointManager(os.path.join(logdir, "checkpoints"))
-    Trainer(step_fn, state, logdir, checkpoints=ckpt).fit(
+    Trainer(
+        step_fn, state, logdir, checkpoints=ckpt,
+        val_fn=_make_val_fn(step_fn, iter(val_loader)),
+    ).fit(
         lambda e: (loader_obj.set_epoch(e), iter(loader_obj))[1],
         num_epochs=args.max_epochs, rng=jax.random.PRNGKey(args.seed),
     )
@@ -404,8 +429,12 @@ def run_lcm_training(cfg, args, logdir, ndev, batch_size,
         return step(state, teacher, Batch(z=z, context=context), uncond_context, r_step)
 
     loader_obj = _build_loader(cfg, batch_size)
+    val_loader = _build_loader(cfg, batch_size, split="valid")
     ckpt = CheckpointManager(os.path.join(logdir, "checkpoints"))
-    Trainer(step_fn, state, logdir, checkpoints=ckpt).fit(
+    Trainer(
+        step_fn, state, logdir, checkpoints=ckpt,
+        val_fn=_make_val_fn(step_fn, iter(val_loader)),
+    ).fit(
         lambda e: (loader_obj.set_epoch(e), iter(loader_obj))[1],
         num_epochs=args.max_epochs, rng=jax.random.PRNGKey(args.seed),
     )

@@ -73,11 +73,36 @@ def _build_clapflan(params: dict):
     }
 
 
+def _build_t5_only(params: dict):
+    """FrozenT5Embedder / FrozenFLANEmbedder parity-extras
+    (`encoders/modules.py:143,172`): single T5 tower, no CLAP half."""
+    return {
+        "clap_text": None,
+        "t5": T5Encoder(T5Config(**(params.get("t5_config") or {}))),
+        "max_length": params.get("max_length", 77),
+        "single_tower": True,
+    }
+
+
+def _build_clap_only(params: dict):
+    """FrozenCLAPEmbedder parity-extra (`encoders/modules.py:201`)."""
+    bert_cfg = BertConfig(**(params.get("bert_config") or {}))
+    return {
+        "clap_text": ClapTextEncoder(bert_cfg, d_proj=params.get("d_proj", 1024)),
+        "t5": None,
+        "max_length": params.get("max_length", 77),
+        "single_tower": True,
+    }
+
+
 MODEL_REGISTRY: Dict[str, Callable[[dict], Any]] = {
     "ldm.modules.diffusionmodules.concatDiT.ConcatDiT2MLP": _build_dit,
     "ldm.modules.diffusionmodules.concatDiT.ConcatDiT": lambda p: _build_dit(p, ConcatDiT),
     "ldm.models.autoencoder1d.AutoencoderKL": _build_vae,
     "ldm.modules.encoders.modules.FrozenCLAPFLANEmbedder": _build_clapflan,
+    "ldm.modules.encoders.modules.FrozenT5Embedder": _build_t5_only,
+    "ldm.modules.encoders.modules.FrozenFLANEmbedder": _build_t5_only,
+    "ldm.modules.encoders.modules.FrozenCLAPEmbedder": _build_clap_only,
 }
 
 

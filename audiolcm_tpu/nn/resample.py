@@ -106,6 +106,68 @@ def downsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None)
     return _depthwise_conv(x, filt, stride=ratio)
 
 
-def alias_free_activation(x: jnp.ndarray, act_fn) -> jnp.ndarray:
-    """Activation1d: 2x upsample -> act -> 2x downsample (`act.py:8-27`)."""
+def _shift_add_correlate(xp: jnp.ndarray, taps: np.ndarray, out_len: int) -> jnp.ndarray:
+    """sum_d taps[d] * xp[:, d:d+out_len, :] as fused multiply-adds.
+
+    Depthwise/grouped convs lower poorly on TPU (they waste the MXU and
+    resist fusion); a static 6-tap shift-add chain is pure VPU work that XLA
+    fuses straight into the surrounding snake activation.
+    """
+    acc = taps[0] * jax.lax.dynamic_slice_in_dim(xp, 0, out_len, axis=1)
+    for d in range(1, len(taps)):
+        acc = acc + taps[d] * jax.lax.dynamic_slice_in_dim(xp, d, out_len, axis=1)
+    return acc
+
+
+def upsample1d_polyphase(x: jnp.ndarray, ratio: int = 2) -> jnp.ndarray:
+    """Polyphase decomposition of upsample1d (ratio 2, kernel 12): the two
+    output phases are 6-tap FIR filters of the input; numerically identical
+    to the transposed-conv path (validated in tests)."""
+    assert ratio == 2, "polyphase path is specialized for the 2x BigVGAN chain"
+    kernel_size = 12
+    pad = kernel_size // ratio - 1  # 5
+    filt = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size) * ratio
+    t = x.shape[1]
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    # y[2j]   = sum_{i-j in 2..7} xp[i] f[15-2(i-j)]  (odd taps, reversed)
+    # y[2j+1] = sum_{i-j in 3..8} xp[i] f[16-2(i-j)]  (even taps, reversed)
+    even_taps = np.asarray([filt[15 - 2 * d] for d in range(2, 8)], dtype=np.float32)
+    odd_taps = np.asarray([filt[16 - 2 * d] for d in range(3, 9)], dtype=np.float32)
+    even_taps = even_taps.astype(x.dtype)
+    odd_taps = odd_taps.astype(x.dtype)
+    y_even = _shift_add_correlate(xp[:, 2:, :], even_taps, t)
+    y_odd = _shift_add_correlate(xp[:, 3:, :], odd_taps, t)
+    return jnp.stack([y_even, y_odd], axis=2).reshape(x.shape[0], 2 * t, x.shape[2])
+
+
+def downsample1d_polyphase(x: jnp.ndarray, ratio: int = 2) -> jnp.ndarray:
+    """Polyphase downsample (ratio 2, kernel 12): y[t] = sum_j xe[t+j] f[2j]
+    + xo[t+j] f[2j+1] over the even/odd input phases."""
+    assert ratio == 2
+    kernel_size = 12
+    pad_left = kernel_size // 2 - 1  # 5
+    pad_right = kernel_size // 2  # 6
+    filt = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size)
+    xp = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)), mode="edge")
+    t_out = x.shape[1] // 2
+    # xp length = T + 11 (odd); split phases with one extra pad for odd slot
+    xp = jnp.pad(xp, ((0, 0), (0, 1), (0, 0)))
+    xe = xp[:, 0::2, :]
+    xo = xp[:, 1::2, :]
+    even_taps = filt[0::2].astype(x.dtype)
+    odd_taps = filt[1::2].astype(x.dtype)
+    return _shift_add_correlate(xe, even_taps, t_out) + _shift_add_correlate(
+        xo, odd_taps, t_out
+    )
+
+
+def alias_free_activation(x: jnp.ndarray, act_fn, use_polyphase: bool = False) -> jnp.ndarray:
+    """Activation1d: 2x upsample -> act -> 2x downsample (`act.py:8-27`).
+
+    NOTE (measured on v5e): the depthwise-conv path is ~3x FASTER than the
+    polyphase shift-add variant end-to-end (XLA fuses the grouped convs
+    fine; the per-tap dynamic slices defeat fusion), so conv is the
+    default and polyphase stays as a numerics cross-check."""
+    if use_polyphase:
+        return downsample1d_polyphase(act_fn(upsample1d_polyphase(x, 2)), 2)
     return downsample1d(act_fn(upsample1d(x, 2)), 2)

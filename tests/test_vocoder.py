@@ -152,3 +152,21 @@ def test_conv_transpose_parity(rng):
 
     assert ours.shape == golden.shape == (2, 64, cout)
     np.testing.assert_allclose(ours, golden, atol=1e-4)
+
+
+def test_polyphase_resample_matches_conv_path(rng):
+    """The TPU-fast polyphase shift-add path must match the transposed/
+    strided conv reference path exactly."""
+    from audiolcm_tpu.nn.resample import (
+        downsample1d_polyphase,
+        upsample1d_polyphase,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 5)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(upsample1d_polyphase(x, 2)), np.asarray(upsample1d(x, 2)), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(downsample1d_polyphase(x, 2)), np.asarray(downsample1d(x, 2)),
+        atol=1e-5,
+    )

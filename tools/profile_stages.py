@@ -25,6 +25,10 @@ def timeit(fn, *args, iters=5):
 
 
 def main():
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import zeros_init
 
     from audiolcm_tpu.diffusion.lcm import LCMConfig
