@@ -72,6 +72,8 @@ class ConvTranspose1dTorchParity(nn.Module):
             "kernel", _norm_init(), (k, x.shape[-1], self.features)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kernel = kernel.astype(x.dtype)
+        bias = bias.astype(x.dtype)
         out = jax.lax.conv_general_dilated(
             x,
             kernel,

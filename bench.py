@@ -81,15 +81,24 @@ def main():
     )
 
     gen = pipe.generate_jit
+
+    def force(x):
+        # NOTE: jax.block_until_ready does NOT await completion on the
+        # tunneled axon runtime (measured: it reports PFLOP/s); fetching a
+        # scalar value is the only reliable completion barrier.
+        return float(jnp.sum(x))
+
     # compile + warmup
     wav, _ = gen(rng, clap_ids, t5_ids, latent_len)
-    jax.block_until_ready(wav)
+    force(wav)
 
     iters = 5
     start = time.perf_counter()
     for i in range(iters):
         wav, _ = gen(jax.random.PRNGKey(i), clap_ids, t5_ids, latent_len)
-    jax.block_until_ready(wav)
+    # device executes programs in order: forcing the last iteration's value
+    # bounds the wall-clock of all of them
+    force(wav)
     elapsed = time.perf_counter() - start
 
     audio_seconds = iters * batch * (wav.shape[-1] / 16000.0)

@@ -4,7 +4,11 @@ Breaks the 6 upsample stages into their primitive costs (dilated convs,
 alias-free activations, transposed convs) to find where the ~540 ms goes.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -13,13 +17,19 @@ from audiolcm_tpu.nn.resample import alias_free_activation
 from audiolcm_tpu.nn.snake import snake_beta
 
 
+def _force(out):
+    # block_until_ready does not await on the tunneled axon runtime; fetch a
+    # scalar to guarantee completion
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf))
+
+
 def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _force(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / iters
 
 

@@ -14,13 +14,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _force(out):
+    # block_until_ready does not await on the tunneled axon runtime; fetch a
+    # scalar to guarantee completion
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf))
+
+
 def timeit(fn, *args, iters=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _force(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / iters
 
 
