@@ -161,6 +161,54 @@ def downsample1d_polyphase(x: jnp.ndarray, ratio: int = 2) -> jnp.ndarray:
     )
 
 
+def _static_correlate(xp: jnp.ndarray, taps, out_len: int) -> jnp.ndarray:
+    """sum_d taps[d] * xp[:, d:d+out_len, :] with STATIC slices (lax.slice
+    fuses; dynamic_slice does not)."""
+    acc = None
+    for d, w in enumerate(taps):
+        sl = jax.lax.slice_in_dim(xp, d, d + out_len, axis=1)
+        acc = w * sl if acc is None else acc + w * sl
+    return acc
+
+
+def alias_free_activation_fused(x: jnp.ndarray, act_fn) -> jnp.ndarray:
+    """down2x(act(up2x(x))) with the interleave eliminated analytically.
+
+    The up-sampled signal's even/odd phases (ue, uo) are 6-tap FIRs of x;
+    the down filter only ever reads u at fixed phase offsets, so:
+
+        y[t] = sum_j fe[j]*act(uo)[t+j-3] + fo[j]*act(ue)[t+j-2]
+
+    (fe/fo = even/odd taps of the 12-tap kaiser-sinc; boundary handling =
+    edge padding, matching the conv path exactly). Everything is static
+    slices + elementwise math — no grouped convs, no stride-2 scatter, no
+    interleave — so XLA fuses the whole activation into a couple of passes.
+    Numerics-identical to alias_free_activation (tested).
+    """
+    up_filt = kaiser_sinc_filter1d(0.25, 0.3, 12).astype(np.float64) * 2.0
+    # validated polyphase up taps (see upsample1d_polyphase)
+    up_even = [float(up_filt[15 - 2 * d]) for d in range(2, 8)]
+    up_odd = [float(up_filt[16 - 2 * d]) for d in range(3, 9)]
+    down_filt = kaiser_sinc_filter1d(0.25, 0.3, 12).astype(np.float64)
+    fe = [float(v) for v in down_filt[0::2]]
+    fo = [float(v) for v in down_filt[1::2]]
+
+    t = x.shape[1]
+    xp5 = jnp.pad(x, ((0, 0), (5, 5), (0, 0)), mode="edge")
+    ue = _static_correlate(jax.lax.slice_in_dim(xp5, 2, xp5.shape[1], axis=1), up_even, t)
+    uo = _static_correlate(jax.lax.slice_in_dim(xp5, 3, xp5.shape[1], axis=1), up_odd, t)
+    ae = act_fn(ue)
+    ao = act_fn(uo)
+    # boundary replication happens on the INTERLEAVED u: u[0] = ue[0] and
+    # u[2T-1] = uo[T-1], so both phase arrays pad left with ae[0] and right
+    # with ao[T-1]
+    left = jnp.broadcast_to(ae[:, :1, :], (ae.shape[0], 3, ae.shape[2]))
+    right = jnp.broadcast_to(ao[:, -1:, :], (ao.shape[0], 3, ao.shape[2]))
+    ao_p = jnp.concatenate([left, ao, right[:, :2, :]], axis=1)
+    ae_p = jnp.concatenate([left[:, :2, :], ae, right], axis=1)
+    return _static_correlate(ao_p, fe, t) + _static_correlate(ae_p, fo, t)
+
+
 def alias_free_activation(x: jnp.ndarray, act_fn, use_polyphase: bool = False) -> jnp.ndarray:
     """Activation1d: 2x upsample -> act -> 2x downsample (`act.py:8-27`).
 

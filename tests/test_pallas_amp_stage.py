@@ -1,0 +1,115 @@
+"""Layer-by-layer validation of the fused AMP-stage path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audiolcm_tpu.models.bigvgan import AMPBlock1
+from audiolcm_tpu.nn.pallas_amp_stage import (
+    R_ACT,
+    extract_stage_params,
+    fused_amp_stage,
+    stage_radius,
+    stage_valid,
+    valid_alias_free_snake,
+    valid_conv,
+)
+from audiolcm_tpu.nn.resample import alias_free_activation
+from audiolcm_tpu.nn.snake import snake_beta
+
+
+def test_valid_alias_free_snake_matches_padded_interior(rng):
+    c = 5
+    x = jnp.asarray(rng.standard_normal((128, c)).astype(np.float32))
+    alpha = jnp.exp(jnp.asarray(rng.standard_normal(c).astype(np.float32)))
+    beta = jnp.exp(jnp.asarray(rng.standard_normal(c).astype(np.float32)))
+    padded = np.asarray(
+        alias_free_activation(x[None], lambda h: snake_beta(h, alpha, beta))
+    )[0]
+    valid = np.asarray(valid_alias_free_snake(x, alpha, beta))
+    assert valid.shape == (128 - 2 * R_ACT, c)
+    np.testing.assert_allclose(valid, padded[R_ACT:-R_ACT], atol=1e-5)
+
+
+@pytest.mark.parametrize("dilation", [1, 3, 5])
+def test_valid_conv_matches_same_conv_interior(rng, dilation):
+    import flax.linen as nn
+
+    c, k = 4, 11
+    x = jnp.asarray(rng.standard_normal((128, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    pad = (k * dilation - dilation) // 2
+    conv = nn.Conv(c, kernel_size=(k,), padding=[(pad, pad)], kernel_dilation=(dilation,))
+    padded = np.asarray(
+        conv.apply({"params": {"kernel": w, "bias": bias}}, x[None])
+    )[0]
+    valid = np.asarray(valid_conv(x, w, bias, dilation))
+    r = (k - 1) * dilation // 2
+    np.testing.assert_allclose(valid, padded[r:-r], atol=2e-4)
+
+
+def _make_stage(rng, c=6, kernel_sizes=(3, 7, 11), dilations=(1, 3, 5), t=1024):
+    x = jnp.asarray(rng.standard_normal((2, t, c)).astype(np.float32))
+    amp_params = []
+    key = jax.random.PRNGKey(0)
+    modules = []
+    for k in kernel_sizes:
+        m = AMPBlock1(k, dilations)
+        p = m.init(key, x)["params"]
+        modules.append(m)
+        amp_params.append(p)
+
+    def reference_fn(xb):
+        acc = None
+        for m, p in zip(modules, amp_params):
+            h = m.apply({"params": p}, xb)
+            acc = h if acc is None else acc + h
+        return acc / len(modules)
+
+    return x, amp_params, reference_fn
+
+
+def test_stage_valid_matches_reference_interior(rng):
+    kernel_sizes, dilations = (3, 7, 11), (1, 3, 5)
+    x, amp_params, reference_fn = _make_stage(rng, kernel_sizes=kernel_sizes)
+    sp = extract_stage_params(amp_params, len(dilations))
+    r = stage_radius(kernel_sizes, dilations)
+    golden = np.asarray(reference_fn(x))
+    valid = np.asarray(
+        jnp.stack([stage_valid(x[i], sp, kernel_sizes, dilations) for i in range(2)])
+    )
+    assert valid.shape[1] == x.shape[1] - 2 * r
+    np.testing.assert_allclose(valid, golden[:, r:-r, :], atol=5e-4)
+
+
+def test_fused_amp_stage_matches_reference_everywhere(rng):
+    kernel_sizes, dilations = (3, 7, 11), (1, 3, 5)
+    x, amp_params, reference_fn = _make_stage(rng, t=2048, kernel_sizes=kernel_sizes)
+    sp = extract_stage_params(amp_params, len(dilations))
+    golden = np.asarray(reference_fn(x))
+    out = np.asarray(
+        fused_amp_stage(
+            x, sp, kernel_sizes, dilations, reference_fn=reference_fn,
+            tile=512, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, golden, atol=5e-4)
+
+
+def test_fused_amp_stage_cl_matches_reference(rng):
+    from audiolcm_tpu.nn.pallas_amp_stage import fused_amp_stage_cl
+
+    kernel_sizes, dilations = (3, 7, 11), (1, 3, 5)
+    x, amp_params, reference_fn = _make_stage(rng, t=2048, kernel_sizes=kernel_sizes)
+    sp = extract_stage_params(amp_params, len(dilations))
+    golden = np.asarray(reference_fn(x))
+    out = np.asarray(
+        fused_amp_stage_cl(
+            x, sp, kernel_sizes, dilations, reference_fn=reference_fn,
+            tile=512, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, golden, atol=5e-4)

@@ -170,3 +170,18 @@ def test_polyphase_resample_matches_conv_path(rng):
         np.asarray(downsample1d_polyphase(x, 2)), np.asarray(downsample1d(x, 2)),
         atol=1e-5,
     )
+
+
+def test_fused_alias_free_matches_conv_path(rng):
+    """The analytically-fused down(act(up)) path (BigVGAN's default) must
+    match the step-by-step conv path exactly, including boundaries."""
+    from audiolcm_tpu.nn.resample import (
+        alias_free_activation,
+        alias_free_activation_fused,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 96, 5)).astype(np.float32))
+    act = lambda h: h + 0.5 * jnp.sin(1.3 * h) ** 2
+    a = np.asarray(alias_free_activation(x, act))
+    b = np.asarray(alias_free_activation_fused(x, act))
+    np.testing.assert_allclose(a, b, atol=2e-5)
