@@ -60,10 +60,15 @@ def ddim_sample(
     uncond: Optional[jnp.ndarray] = None,
     config: DDIMConfig = DDIMConfig(),
     x_T: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    x0: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """denoise_fn(x, t, context) -> eps. Returns the final sample.
 
     If uncond is given and guidance_scale != 1, runs batch-doubled CFG.
+    mask/x0 enable inpainting (`plms.py:146-149` / the inpaint LDM variant):
+    at every step the known region is re-imposed as q_sample(x0, t) * mask
+    before denoising (mask==1 -> keep x0's content).
     """
     batch = shape[0]
     ts, alphas, alphas_prev, sigmas = _tables(schedule, config.num_steps, config.eta)
@@ -93,6 +98,12 @@ def ddim_sample(
     def body(img, inp):
         t, a, a_prev, sigma, step_rng = inp
         t_full = jnp.full((batch,), t, dtype=jnp.int32)
+        if mask is not None:
+            noise_rng = jax.random.fold_in(step_rng, 1)
+            img_orig = schedule.q_sample(
+                x0, t_full, jax.random.normal(noise_rng, shape)
+            )
+            img = img_orig * mask + (1.0 - mask) * img
         e_t = eps_fn(img, t_full)
         pred_x0 = (img - jnp.sqrt(1.0 - a) * e_t) / jnp.sqrt(a)
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * e_t

@@ -11,9 +11,20 @@ vs_baseline is against the BASELINE.md north-star of 10x real-time per chip.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: the first full-pipeline compile takes
+# minutes on the tunneled device; cached executables cut reruns to seconds.
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 
 

@@ -72,3 +72,22 @@ def test_ddim_cfg_batch_doubling():
     assert out.shape == (2, 8, 2)
     # traced once inside scan with doubled batch
     assert calls[0][0][0] == 4 and calls[0][1][0] == 4
+
+
+def test_ddim_inpainting_keeps_masked_region():
+    """mask/x0 inpainting (ddpm_audio_inpaint parity): the known region must
+    reconstruct x0 while the free region is generated."""
+    sched = NoiseSchedule.linear()
+    x0 = jnp.ones((1, 16, 2)) * 0.6
+    mask = jnp.zeros((1, 16, 2)).at[:, :8, :].set(1.0)  # first half known
+
+    def denoise_fn(x, t, cond):
+        return sched.predict_eps_from_xstart(x, t, jnp.broadcast_to(x0, x.shape))
+
+    out = ddim_sample(
+        denoise_fn, sched, jax.random.PRNGKey(0), (1, 16, 2),
+        cond=jnp.zeros((1, 2, 4)), config=DDIMConfig(num_steps=50),
+        mask=mask, x0=x0,
+    )
+    np.testing.assert_allclose(np.asarray(out)[:, :8], 0.6, atol=0.2)
+    assert np.isfinite(np.asarray(out)).all()
