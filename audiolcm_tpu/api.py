@@ -73,9 +73,25 @@ def build_pipeline(
     vocoder_path: str,
     num_inference_steps: int = 2,
     guidance_scale: float = 5.0,
+    compute_dtype=None,
+    use_flash: Optional[bool] = None,
 ) -> AudioLCMPipeline:
-    """Reference YAML + torch ckpts -> fully converted TPU pipeline."""
+    """Reference YAML + torch ckpts -> fully converted TPU pipeline.
+
+    compute_dtype/use_flash default to the serving config on TPU
+    (bf16 weights+activations, Pallas flash attention) and to f32/XLA
+    attention elsewhere; pass explicit values to override.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    if use_flash is None:
+        use_flash = on_tpu
     cfg = cfg_mod.parse_diffusion_config(cfg_mod.load_yaml(config_path))
+    if use_flash and hasattr(cfg.unet, "use_flash"):
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, unet=cfg.unet.clone(use_flash=True))
     voc_sd, voc_args = load_vocoder_dir(vocoder_path)
     vocoder = cfg_mod.build_vocoder_from_args(voc_args)
 
@@ -129,13 +145,20 @@ def build_pipeline(
         scale_factor=parts["scale_factor"],
     )
     params = jax.tree.map(jnp.asarray, params)  # PipelineParams is a pytree
+    if compute_dtype != jnp.float32:
+        from audiolcm_tpu.pipeline import cast_params
+
+        params = cast_params(params, compute_dtype)
     schedule = NoiseSchedule.linear(cfg.timesteps, cfg.linear_start, cfg.linear_end)
     lcm = LCMConfig(
         num_inference_steps=num_inference_steps,
         original_inference_steps=cfg.num_ddim_timesteps,
         guidance_scale=guidance_scale,
     )
-    return AudioLCMPipeline(modules, params, schedule, lcm, default_latent_len=cfg.mel_length)
+    return AudioLCMPipeline(
+        modules, params, schedule, lcm, default_latent_len=cfg.mel_length,
+        compute_dtype=compute_dtype,
+    )
 
 
 def _write_wav(path: str, wav: np.ndarray, sample_rate: int = SAMPLE_RATE) -> None:

@@ -177,3 +177,17 @@ def test_batch_infer(synthetic_ckpt, tmp_path):
     )
     assert last.endswith("rain-falls_0.wav")
     assert len(os.listdir(outdir)) >= 3
+
+
+def test_build_pipeline_serving_flags(synthetic_ckpt):
+    """compute_dtype/use_flash wiring: explicit overrides are honored and
+    the DiT module is cloned with the flash flag."""
+    import jax.numpy as jnp
+
+    cfg_path, ckpt_path, voc_dir = synthetic_ckpt
+    pipe = build_pipeline(cfg_path, ckpt_path, voc_dir,
+                          compute_dtype=jnp.bfloat16, use_flash=True)
+    assert pipe.modules.dit.use_flash is True
+    assert pipe.compute_dtype == jnp.bfloat16
+    leaves = [l for l in jax.tree.leaves(pipe.params) if hasattr(l, "dtype")]
+    assert any(l.dtype == jnp.bfloat16 for l in leaves)
