@@ -95,10 +95,62 @@ def _build_clap_only(params: dict):
     }
 
 
+def _build_order_dit(params: dict, cls=None):
+    from audiolcm_tpu.models.order_dit import ConcatOrderDiT, ConcatOrderDiT2
+
+    cls = cls or ConcatOrderDiT
+    return cls(
+        in_channels=params["in_channels"],
+        context_dim=params["context_dim"],
+        hidden_size=params.get("hidden_size", 576),
+        depth=params.get("depth", 4),
+        num_heads=params.get("num_heads", 8),
+        max_len=params.get("max_len", 1000),
+    )
+
+
+def _build_flag_dit(params: dict):
+    from audiolcm_tpu.models.flag_dit import TxtFlagLargeDiT
+
+    return TxtFlagLargeDiT(
+        in_channels=params["in_channels"],
+        context_dim=params["context_dim"],
+        hidden_size=params.get("hidden_size", 576),
+        depth=params.get("depth", 4),
+        num_heads=params.get("num_heads", 8),
+        max_len=params.get("max_len", 1000),
+        n_kv_heads=params.get("n_kv_heads"),
+        multiple_of=params.get("multiple_of", 256),
+        qk_norm=bool(params.get("qk_norm") or False),
+    )
+
+
+def _build_vae2d(params: dict):
+    from audiolcm_tpu.models.vae2d import AutoencoderKL2D, VAE2DConfig
+
+    dd = params["ddconfig"]
+    return AutoencoderKL2D(VAE2DConfig(
+        in_channels=dd["in_channels"], out_ch=dd["out_ch"], ch=dd["ch"],
+        ch_mult=tuple(dd["ch_mult"]), num_res_blocks=dd["num_res_blocks"],
+        attn_resolutions=tuple(dd.get("attn_resolutions", ())),
+        resolution=dd.get("resolution", 80), z_channels=dd["z_channels"],
+        embed_dim=params["embed_dim"], double_z=dd.get("double_z", True),
+        dropout=dd.get("dropout", 0.0),
+    ))
+
+
 MODEL_REGISTRY: Dict[str, Callable[[dict], Any]] = {
     "ldm.modules.diffusionmodules.concatDiT.ConcatDiT2MLP": _build_dit,
     "ldm.modules.diffusionmodules.concatDiT.ConcatDiT": lambda p: _build_dit(p, ConcatDiT),
+    "ldm.modules.diffusionmodules.concatDiT.ConcatOrderDiT": _build_order_dit,
+    "ldm.modules.diffusionmodules.concatDiT.ConcatOrderDiT2": (
+        lambda p: _build_order_dit(p, __import__(
+            "audiolcm_tpu.models.order_dit", fromlist=["ConcatOrderDiT2"]
+        ).ConcatOrderDiT2)
+    ),
+    "ldm.modules.diffusionmodules.flag_large_dit.TxtFlagLargeDiT": _build_flag_dit,
     "ldm.models.autoencoder1d.AutoencoderKL": _build_vae,
+    "ldm.models.autoencoder.AutoencoderKL": _build_vae2d,
     "ldm.modules.encoders.modules.FrozenCLAPFLANEmbedder": _build_clapflan,
     "ldm.modules.encoders.modules.FrozenT5Embedder": _build_t5_only,
     "ldm.modules.encoders.modules.FrozenFLANEmbedder": _build_t5_only,

@@ -1,8 +1,17 @@
 from audiolcm_tpu.parallel.mesh import (
     batch_sharding,
+    fsdp_shardings,
     make_mesh,
     replicated,
     shard_batch,
+    shard_params_fsdp,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "fsdp_shardings",
+    "shard_params_fsdp",
+]

@@ -51,3 +51,32 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Device-put a pytree of host arrays with the leading dim sharded."""
     sharding = batch_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def fsdp_shardings(params, mesh: Mesh, axis: str = "data", min_size: int = 2**15):
+    """ZeRO/FSDP-style parameter sharding specs (SURVEY.md §2.12, §7: the
+    3-param-tree LCM distillation is the memory pressure point on small
+    chips). Each leaf above `min_size` elements is sharded along its
+    largest dimension divisible by the mesh axis size; XLA inserts the
+    all-gathers/reduce-scatters during the jitted step. Returns a pytree of
+    NamedSharding matching `params` for use as in_shardings/device_put."""
+    n = mesh.shape[axis]
+
+    def spec_for(x):
+        if x.ndim == 0 or x.size < min_size:
+            return NamedSharding(mesh, P())
+        dims = sorted(range(x.ndim), key=lambda d: -x.shape[d])
+        for d in dims:
+            if x.shape[d] % n == 0:
+                pspec = [None] * x.ndim
+                pspec[d] = axis
+                return NamedSharding(mesh, P(*pspec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec_for, params)
+
+
+def shard_params_fsdp(params, mesh: Mesh, axis: str = "data", min_size: int = 2**15):
+    """Device-put params with fsdp_shardings."""
+    shardings = fsdp_shardings(params, mesh, axis, min_size)
+    return jax.tree.map(jax.device_put, params, shardings)

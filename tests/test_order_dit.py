@@ -73,3 +73,24 @@ def test_order_dit2_forward():
     out = model.apply(params, x, t, tok, jnp.asarray(src), jnp.asarray(oid))
     assert out.shape == (1, 8, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_struct_caption_parsing():
+    from audiolcm_tpu.data.struct_captions import (
+        build_order_dict,
+        parse_struct_captions,
+    )
+
+    table = build_order_dict()
+    assert table["order 0 start"] == 0
+    assert table["order 1 mid"] == 4
+    assert table["all"] == 30 and table["unknown"] == 31
+
+    texts, orders = parse_struct_captions(
+        ["<man speaking& order 1 start>@<idle engine& all>", "<dog& all>"]
+    )
+    assert texts == ["man speaking | idle engine |", "dog |"]
+    assert orders == [[3, 30], [30]]
+
+    texts, orders = parse_struct_captions(["<dog& start>"], time_only=True)
+    assert orders == [[1]]

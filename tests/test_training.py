@@ -168,3 +168,39 @@ def test_vae_gan_steps_run():
     for k in ("train/disc_loss", "train/r1_penalty"):
         assert np.isfinite(float(dm[k])), k
     assert int(state.step) == 1
+
+
+def test_lcm_distill_with_fsdp_sharded_params():
+    """ZeRO-style sharding: all three DiT param trees sharded over the
+    8-device mesh; the jitted distillation step must still run (XLA inserts
+    the gathers)."""
+    from audiolcm_tpu.parallel import shard_params_fsdp
+
+    apply_fn, teacher = _tiny_dit()
+    cfg = LCMDistillConfig()
+    state = init_train_state(jax.tree.map(jnp.copy, teacher), cfg)
+    schedule = NoiseSchedule.linear()
+    step = make_lcm_distill_step(apply_fn, schedule, cfg)
+    mesh = make_mesh(8)
+    data = NamedSharding(mesh, P("data"))
+    batch = Batch(
+        z=jax.device_put(jax.random.normal(jax.random.PRNGKey(1), (16, 8, 4)), data),
+        context=jax.device_put(jax.random.normal(jax.random.PRNGKey(2), (16, 4, 8)), data),
+    )
+    # low min_size so the tiny test params actually shard
+    teacher_s = shard_params_fsdp(teacher, mesh, min_size=64)
+    state = state._replace(
+        student=shard_params_fsdp(state.student, mesh, min_size=64),
+        target=shard_params_fsdp(state.target, mesh, min_size=64),
+    )
+    with mesh:
+        state2, metrics = jax.jit(step)(
+            state, teacher_s, batch,
+            jax.device_put(jnp.zeros((1, 4, 8)), NamedSharding(mesh, P())),
+            jax.random.PRNGKey(0),
+        )
+    assert np.isfinite(float(metrics["train/loss"]))
+    # updated student keeps its sharding
+    sharded_leaves = [l for l in jax.tree.leaves(state2.student)
+                      if len(l.sharding.device_set) == 8]
+    assert sharded_leaves

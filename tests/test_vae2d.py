@@ -14,7 +14,7 @@ from audiolcm_tpu.models.vae2d import (
 
 
 def _cfg():
-    return VAE2DConfig(in_channels=1, out_ch=1, ch=16, ch_mult=(1, 2),
+    return VAE2DConfig(in_channels=1, out_ch=1, ch=32, ch_mult=(1, 2),
                        num_res_blocks=1, attn_resolutions=(8,), resolution=16,
                        z_channels=4, embed_dim=4)
 
