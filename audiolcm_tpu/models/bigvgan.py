@@ -112,16 +112,72 @@ def _conv1d(features: int, kernel: int, dilation: int = 1, name: str | None = No
     )
 
 
+class _SnakeParams(nn.Module):
+    """Raw snake alpha/beta with Snake(Beta)'s exact param tree (for the
+    channels-first path, which needs the values rather than the module)."""
+
+    logscale: bool = True
+    single: bool = False  # Snake variant: alpha doubles as the magnitude
+
+    @nn.compact
+    def __call__(self, channels: int):
+        init = nn.initializers.zeros if self.logscale else nn.initializers.ones
+        alpha = self.param("alpha", init, (channels,))
+        beta = alpha if self.single else self.param("beta", init, (channels,))
+        if self.logscale:
+            alpha, beta = jnp.exp(alpha), jnp.exp(beta)
+        return alpha, beta
+
+
+class _ConvParams(nn.Module):
+    """Conv kernel/bias with nn.Conv's exact param tree (channels-first path)."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", _norm_init(), (self.kernel_size, in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class AMPBlock1(nn.Module):
-    """`models.py:30-81`: 3x(act -> dilated conv -> act -> conv) residual."""
+    """`models.py:30-81`: 3x(act -> dilated conv -> act -> conv) residual.
+
+    channels_first=True runs the identical math on (B, C, T) tensors so the
+    time axis rides the vector lanes — the fast path for narrow widths
+    (see nn/resample_cf.py). Param trees are byte-identical between paths,
+    so checkpoints are layout-agnostic.
+    """
 
     kernel_size: int
     dilations: Sequence[int]
     snake_logscale: bool = True
     activation: str = "snakebeta"
+    channels_first: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.channels_first:
+            from audiolcm_tpu.nn.resample_cf import alias_free_snake_cf, conv1d_cf
+
+            channels = x.shape[1]
+            single = self.activation != "snakebeta"
+            for i, d in enumerate(self.dilations):
+                a1, b1 = _SnakeParams(self.snake_logscale, single, name=f"act1_{i}")(channels)
+                a2, b2 = _SnakeParams(self.snake_logscale, single, name=f"act2_{i}")(channels)
+                w1, c1b = _ConvParams(channels, self.kernel_size, name=f"conv1_{i}")(channels)
+                w2, c2b = _ConvParams(channels, self.kernel_size, name=f"conv2_{i}")(channels)
+                h = alias_free_snake_cf(x, a1, b1)
+                h = conv1d_cf(h, w1.astype(x.dtype), c1b.astype(x.dtype), d)
+                h = alias_free_snake_cf(h, a2, b2)
+                h = conv1d_cf(h, w2.astype(x.dtype), c2b.astype(x.dtype), 1)
+                x = x + h
+            return x
+
         channels = x.shape[-1]
         act_cls = SnakeBeta if self.activation == "snakebeta" else Snake
         for i, d in enumerate(self.dilations):
@@ -155,29 +211,48 @@ class AMPBlock2(nn.Module):
         return x
 
 
+# Narrow stages run channels-FIRST so the long time axis rides the vector
+# lanes (xplane-measured: the C-on-lanes snake fusions were 228 ms/iter at
+# C=24..96); wide stages stay channels-last for MXU-friendly convs.
+# Bench sweep (b8, 10 s, bf16): threshold 48 -> 174.6x realtime; 24 -> 167.7;
+# 96 -> 160.1; 0 (all channels-last) -> 169.7.
+_CF_STAGE_MAX_CHANNELS = 48
+
+
 class BigVGAN(nn.Module):
     config: BigVGANConfig = BigVGANConfig()
+    cf_max_channels: int = _CF_STAGE_MAX_CHANNELS
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
         """mel (B, T, num_mels) -> waveform (B, 256*T) in [-1, 1]."""
         cfg = self.config
-        block_cls = AMPBlock1 if cfg.resblock == "1" else AMPBlock2
         x = _conv1d(cfg.upsample_initial_channel, 7, name="conv_pre")(mel)
         num_kernels = len(cfg.resblock_kernel_sizes)
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
             x = ConvTranspose1dTorchParity(ch, k, u, name=f"ups_{i}")(x)
+            cf = cfg.resblock == "1" and ch <= self.cf_max_channels
+            if cf:
+                x = jnp.transpose(x, (0, 2, 1))  # one transpose per stage
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
             ):
-                h = block_cls(
-                    rk, tuple(rd), cfg.snake_logscale, cfg.activation,
-                    name=f"resblock_{i}_{j}",
-                )(x)
+                if cfg.resblock == "1":
+                    h = AMPBlock1(
+                        rk, tuple(rd), cfg.snake_logscale, cfg.activation,
+                        channels_first=cf, name=f"resblock_{i}_{j}",
+                    )(x)
+                else:
+                    h = AMPBlock2(
+                        rk, tuple(rd), cfg.snake_logscale, cfg.activation,
+                        name=f"resblock_{i}_{j}",
+                    )(x)
                 acc = h if acc is None else acc + h
             x = acc / num_kernels
+            if cf:
+                x = jnp.transpose(x, (0, 2, 1))
         act_cls = SnakeBeta if cfg.activation == "snakebeta" else Snake
         x = _alias_free(x, act_cls(cfg.snake_logscale, name="act_post"))
         x = _conv1d(1, 7, name="conv_post")(x)

@@ -185,3 +185,43 @@ def test_fused_alias_free_matches_conv_path(rng):
     a = np.asarray(alias_free_activation(x, act))
     b = np.asarray(alias_free_activation_fused(x, act))
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_channels_first_amp_block_matches_channels_last(rng):
+    """The cf path must be numerics- and PARAM-identical to channels-last."""
+    from audiolcm_tpu.models.bigvgan import AMPBlock1
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 8)).astype(np.float32))
+    cl = AMPBlock1(11, (1, 3, 5))
+    cf = AMPBlock1(11, (1, 3, 5), channels_first=True)
+    params = cl.init(jax.random.PRNGKey(0), x)
+    # param trees must be interchangeable
+    params_cf = cf.init(jax.random.PRNGKey(0), jnp.transpose(x, (0, 2, 1)))
+    spec = lambda p: jax.tree.map(lambda a: a.shape, p)
+    assert spec(params) == spec(params_cf)
+
+    leaves, td = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    params = jax.tree.unflatten(
+        td, [0.1 * jax.random.normal(k, l.shape, l.dtype) for k, l in zip(keys, leaves)]
+    )
+    out_cl = cl.apply(params, x)
+    out_cf = jnp.transpose(cf.apply(params, jnp.transpose(x, (0, 2, 1))), (0, 2, 1))
+    np.testing.assert_allclose(np.asarray(out_cf), np.asarray(out_cl), atol=2e-4)
+
+
+def test_bigvgan_cf_stages_match_cl(rng):
+    """Full generator with cf stages enabled vs disabled: same output."""
+    cfg = BigVGANConfig(
+        num_mels=8, upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    mel = jnp.asarray(rng.standard_normal((1, 16, 8)).astype(np.float32) * 0.3)
+    m_cf = BigVGAN(cfg, cf_max_channels=96)
+    m_cl = BigVGAN(cfg, cf_max_channels=0)
+    params = m_cl.init(jax.random.PRNGKey(0), mel)
+    np.testing.assert_allclose(
+        np.asarray(m_cf.apply(params, mel)), np.asarray(m_cl.apply(params, mel)),
+        atol=2e-4,
+    )
