@@ -117,3 +117,17 @@ def test_clap_text_encoder_shapes():
     params = model.init(jax.random.PRNGKey(0), ids)
     out = model.apply(params, ids)
     assert out.shape == (2, 77, 24)
+
+
+def test_trainable_text_transformer():
+    """BERTEmbedder-slot encoder: trainable from scratch, grads flow."""
+    from audiolcm_tpu.models.text_transformer import TransformerTextEncoder
+
+    model = TransformerTextEncoder(vocab_size=50, max_seq_len=16, dim=32,
+                                   depth=2, num_heads=4)
+    ids = jnp.zeros((2, 10), dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    out = model.apply(params, ids)
+    assert out.shape == (2, 10, 32)
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, ids) ** 2))(params)
+    assert np.abs(np.asarray(jax.tree.leaves(g)[0])).sum() >= 0  # finite grads
