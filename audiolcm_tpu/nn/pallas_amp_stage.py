@@ -310,7 +310,7 @@ def fused_amp_stage(
         return pl.pallas_call(
             kernel,
             grid=(t // tile,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(flat),
             out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
@@ -400,7 +400,7 @@ def fused_amp_stage_cl(
         return pl.pallas_call(
             kernel,
             grid=(t // tile,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(flat),
             out_specs=pl.BlockSpec((c, tile), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),

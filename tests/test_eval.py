@@ -92,3 +92,28 @@ def test_cnn14_shapes():
     variables = model.init(jax.random.PRNGKey(0), wav)
     out = model.apply(variables, wav)
     assert out.shape == (1, 32)
+
+
+def test_clap_contrastive_model():
+    from audiolcm_tpu.models.clap import CLAP, clap_contrastive_loss
+    from audiolcm_tpu.models.clap_audio import ClapAudioConfig
+    from audiolcm_tpu.models.clap_text import BertConfig
+
+    model = CLAP(
+        text_config=BertConfig(vocab_size=40, hidden_size=16, num_layers=1,
+                               num_heads=2, intermediate_size=32,
+                               max_position_embeddings=16),
+        audio_config=ClapAudioConfig(sample_rate=8000, window_size=64,
+                                     hop_size=32, mel_bins=64, fmin=50,
+                                     fmax=4000, out_emb=32),
+        d_proj=24,
+    )
+    ids = jnp.zeros((3, 8), dtype=jnp.int32)
+    wav = jnp.zeros((3, 4000))
+    variables = model.init(jax.random.PRNGKey(0), ids, wav)
+    t, a, scale = model.apply(variables, ids, wav)
+    assert t.shape == (3, 24) and a.shape == (3, 24)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(t), axis=-1), 1.0, atol=1e-5)
+    assert abs(float(scale) - 1 / 0.003) < 1.0
+    loss = clap_contrastive_loss(t, a, scale)
+    assert np.isfinite(float(loss))
