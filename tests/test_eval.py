@@ -117,3 +117,33 @@ def test_clap_contrastive_model():
     assert abs(float(scale) - 1 / 0.003) < 1.0
     loss = clap_contrastive_loss(t, a, scale)
     assert np.isfinite(float(loss))
+
+
+def test_convert_cnn14_structure(rng):
+    """Cnn14 converter: synthetic PANN-layout state dict -> flax variables
+    that load and run."""
+    from audiolcm_tpu.models.clap_audio import ClapAudioConfig, Cnn14, convert_cnn14
+
+    cfg = ClapAudioConfig(sample_rate=8000, window_size=64, hop_size=32,
+                          mel_bins=64, fmin=50, fmax=4000, out_emb=32)
+    widths = [64, 128, 256, 512, 1024, 2048]
+    sd = {}
+    def bn(p, c):
+        for suffix, shape in (("weight", (c,)), ("bias", (c,)),
+                              ("running_mean", (c,)), ("running_var", (c,))):
+            sd[f"{p}.{suffix}"] = rng.standard_normal(shape).astype(np.float32) ** 2 + 0.1
+    bn("bn0", 64)
+    cin = 1
+    for i, c in enumerate(widths, start=1):
+        sd[f"conv_block{i}.conv1.weight"] = rng.standard_normal((c, cin, 3, 3)).astype(np.float32) * 0.05
+        sd[f"conv_block{i}.conv2.weight"] = rng.standard_normal((c, c, 3, 3)).astype(np.float32) * 0.05
+        bn(f"conv_block{i}.bn1", c)
+        bn(f"conv_block{i}.bn2", c)
+        cin = c
+    sd["fc1.weight"] = rng.standard_normal((32, 2048)).astype(np.float32) * 0.05
+    sd["fc1.bias"] = np.zeros(32, np.float32)
+
+    variables = jax.tree.map(jnp.asarray, convert_cnn14(sd))
+    out = Cnn14(cfg).apply(variables, jnp.zeros((1, 8000)))
+    assert out.shape == (1, 32)
+    assert np.isfinite(np.asarray(out)).all()
