@@ -154,7 +154,21 @@ def run_vae_training(cfg, args, logdir, ndev, batch_size):
     )
 
     vae = cfg_mod.build_from_target(cfg["model"])
-    loss_params = cfg["model"]["params"].get("lossconfig", {}).get("params", {})
+    lossconfig = cfg["model"]["params"].get("lossconfig", {})
+    loss_params = lossconfig.get("params", {})
+    loss_target = lossconfig.get("target", "losses_audio.contperceptual.x")
+    # module segment of e.g. ldm.modules.losses_audio.contperceptual_multiw.LPAPSWithDiscriminator
+    loss_module = next(
+        (seg for seg in loss_target.split(".") if "perceptual" in seg), "")
+    variant = {"contperceptual_multiw": "multiw", "contperceptual_dis": "dis",
+               "contperceptual_mask": "mask", "vqperceptual": "vq"}.get(loss_module)
+    if variant is not None:
+        return run_vae_variant_training(
+            cfg, args, logdir, ndev, batch_size, vae, variant, loss_params)
+    if loss_module != "contperceptual":
+        raise ValueError(
+            f"unknown lossconfig.target {loss_target!r}; expected one of "
+            "contperceptual[_multiw|_dis|_mask] or vqperceptual")
     gan_cfg = VAEGANConfig(
         disc_start=loss_params.get("disc_start", 80001),
         kl_weight=loss_params.get("kl_weight", 1e-6),
@@ -212,6 +226,118 @@ def run_vae_training(cfg, args, logdir, ndev, batch_size):
         step_fn, state, logdir, checkpoints=ckpt,
         val_fn=_make_val_fn(step_fn, val_loader(0)),
     ).fit(loader, num_epochs=args.max_epochs, rng=jax.random.PRNGKey(args.seed))
+
+
+def run_vae_variant_training(cfg, args, logdir, ndev, batch_size, vae,
+                             variant, loss_params):
+    """VAE GAN with an alternative loss from `lossconfig.target`
+    (contperceptual_{multiw,dis,mask}.py / vqperceptual.py)."""
+    from audiolcm_tpu.models.discriminators import NLayerDiscriminator2D
+    from audiolcm_tpu.models.multi_window_disc import (
+        MultiWindowDiscriminatorWrapper,
+    )
+    from audiolcm_tpu.models.vae1d import AutoencoderKL1D, DiagonalGaussian
+    from audiolcm_tpu.train.checkpoints import CheckpointManager
+    from audiolcm_tpu.train.loop import Trainer, scale_learning_rate
+    from audiolcm_tpu.train.vae_losses_extra import (
+        VariantConfig,
+        init_variant_state,
+        make_variant_gan_steps,
+    )
+
+    vcfg = VariantConfig(
+        variant=variant,
+        disc_start=loss_params.get("disc_start", 80001),
+        kl_weight=loss_params.get("kl_weight", 1.0),
+        codebook_weight=loss_params.get("codebook_weight", 1.0),
+        disc_weight=loss_params.get("disc_weight", 1.0),
+        disc_factor=loss_params.get("disc_factor", 1.0),
+        disc_loss=loss_params.get("disc_loss", "hinge"),
+        pad_value=loss_params.get("pad_value", -1.0),
+        learning_rate=scale_learning_rate(
+            cfg["model"].get("base_learning_rate", 4.5e-6), batch_size, ndev),
+    )
+    mel_num = cfg.get("data", {}).get("params", {}).get("mel_num", 80)
+    spec_len = cfg.get("data", {}).get("params", {}).get("spec_len", 624)
+    rng = jax.random.PRNGKey(args.seed)
+    ae_params = vae.init(rng, jnp.zeros((1, spec_len, mel_num)), rng)["params"]
+
+    disc_params = {}
+    patch_apply = multi_apply = None
+    if variant in ("dis", "mask", "vq"):
+        patch = NLayerDiscriminator2D(
+            ndf=loss_params.get("disc_hidden_size", 64),
+            n_layers=loss_params.get("disc_num_layers", 3))
+        patch_vars = patch.init(rng, jnp.zeros((1, mel_num, spec_len, 1)))
+        disc_params["patch"] = patch_vars["params"]
+        stats = patch_vars["batch_stats"]
+
+        def patch_apply(p, x):
+            # eval-mode stats inside the loss (running stats advance on the
+            # disc step only in the full BN pipeline; LSGAN variants in the
+            # reference freeze too little to matter for parity here)
+            return patch.apply({"params": p, "batch_stats": stats}, x, False)
+
+    if variant in ("multiw", "dis"):
+        multi = MultiWindowDiscriminatorWrapper(
+            time_lengths=tuple(loss_params.get(
+                "time_lengths", [16, 32, 64] if variant == "multiw"
+                else [32, 64, 128])),
+            freq_length=mel_num,
+            norm_type="in" if variant == "dis" else "bn",
+            reduction="stack",
+        )
+        multi_vars = multi.init(
+            {"params": rng, "windows": rng}, jnp.zeros((1, spec_len, mel_num)),
+            train=False)
+        disc_params["multi"] = multi_vars["params"]
+        m_stats = multi_vars.get("batch_stats", None)
+
+        def multi_apply(p, x, r):
+            vs = {"params": p}
+            if m_stats is not None:
+                vs["batch_stats"] = m_stats
+            return multi.apply(vs, x, train=False, rngs={"windows": r})["y"]
+
+    def vae_apply(params, x, r):
+        moments = vae.apply({"params": params}, x,
+                            method=AutoencoderKL1D.encode_moments)
+        post = DiagonalGaussian(moments)
+        return vae.apply({"params": params}, post.sample(r),
+                         method=AutoencoderKL1D.decode), post
+
+    gen_step, disc_step = make_variant_gan_steps(
+        vae_apply, vcfg,
+        patch_disc_apply=patch_apply,
+        multi_disc_apply=multi_apply,
+        last_layer_get=lambda p: p["decoder"]["conv_out"]["kernel"],
+        last_layer_set=lambda p, v: _set_in(p, ("decoder", "conv_out", "kernel"), v),
+    )
+    gen_step, disc_step = jax.jit(gen_step), jax.jit(disc_step)
+    state = init_variant_state(ae_params, disc_params, vcfg)
+
+    def step_fn(state, batch, rng):
+        mel = jnp.asarray(batch["mel"].transpose(0, 2, 1))
+        state, gm = gen_step(state, mel, rng)
+        state, dm = disc_step(state, mel, rng)
+        return state, {**gm, **dm}
+
+    loader = _build_tile_loader(cfg, batch_size, spec_len)
+    val_loader = _build_tile_loader(cfg, batch_size, spec_len, split="valid")
+    ckpt = CheckpointManager(os.path.join(logdir, "checkpoints"),
+                             monitor=None, max_to_keep=3)
+    Trainer(
+        step_fn, state, logdir, checkpoints=ckpt,
+        val_fn=_make_val_fn(step_fn, val_loader(0)),
+    ).fit(loader, num_epochs=args.max_epochs, rng=jax.random.PRNGKey(args.seed))
+
+
+def _set_in(tree, path, value):
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(tree)
+    flat[path] = value
+    return flax.traverse_util.unflatten_dict(flat)
 
 
 def _build_tile_loader(cfg, batch_size, spec_len, split="train"):
