@@ -95,6 +95,23 @@ def _build_clap_only(params: dict):
     }
 
 
+def _build_laion_clap(params: dict, sentence_cls: bool = False):
+    """FrozenLAIONCLAPEmbedder(+Setence) (`encoders/modules.py:242,291`):
+    HTSAT-tiny/roberta LAION CLAP, text branch only."""
+    from audiolcm_tpu.models.open_clap.embedders import (
+        FrozenLAIONCLAPEmbedder,
+        FrozenLAIONCLAPSetenceEmbedder,
+    )
+
+    kw = dict(weights_path=params.get("weights_path", ""),
+              tokenizer_path=params.get("tokenizer_path", "roberta-base"))
+    if sentence_cls:
+        return FrozenLAIONCLAPSetenceEmbedder(**kw)
+    return FrozenLAIONCLAPEmbedder(
+        sentence=bool(params.get("sentence", False)),
+        max_length=params.get("max_length", 77), **kw)
+
+
 def _build_order_dit(params: dict, cls=None):
     from audiolcm_tpu.models.order_dit import ConcatOrderDiT, ConcatOrderDiT2
 
@@ -155,6 +172,10 @@ MODEL_REGISTRY: Dict[str, Callable[[dict], Any]] = {
     "ldm.modules.encoders.modules.FrozenT5Embedder": _build_t5_only,
     "ldm.modules.encoders.modules.FrozenFLANEmbedder": _build_t5_only,
     "ldm.modules.encoders.modules.FrozenCLAPEmbedder": _build_clap_only,
+    "ldm.modules.encoders.modules.FrozenLAIONCLAPEmbedder": _build_laion_clap,
+    "ldm.modules.encoders.modules.FrozenLAIONCLAPSetenceEmbedder": (
+        lambda p: _build_laion_clap(p, sentence_cls=True)
+    ),
 }
 
 

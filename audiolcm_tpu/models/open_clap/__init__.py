@@ -1,0 +1,51 @@
+"""LAION open_clap tree, TPU-native (`ldm/modules/encoders/open_clap/`).
+
+Implements the pieces the reference vendors: CLAP model (audio + text
+towers, joint projections, logit scales), HTSAT Swin audio transformer,
+PANN CNNs, attentional feature fusion, the named-config factory, and the
+torch-checkpoint converter. Image/ResNet/ViT towers from the original
+open_clip lineage are image-CLIP presets unused by any audio config and are
+intentionally not ported.
+"""
+
+from audiolcm_tpu.models.open_clap.factory import (
+    MODEL_CONFIGS,
+    build_config,
+    create_model,
+    list_models,
+)
+from audiolcm_tpu.models.open_clap.fusion import AFF, daf, iAFF
+from audiolcm_tpu.models.open_clap.htsat import HTSAT, HTSATConfig, htsat_preset
+from audiolcm_tpu.models.open_clap.model import (
+    MLPLayers,
+    OpenClap,
+    OpenClapConfig,
+)
+from audiolcm_tpu.models.open_clap.pann import PannAudioBranch, PannConfig
+from audiolcm_tpu.models.open_clap.text_towers import (
+    ClipTextTransformer,
+    RobertaConfig,
+    RobertaEncoder,
+)
+from audiolcm_tpu.models.open_clap.convert import (
+    convert_open_clap,
+    convert_roberta,
+)
+from audiolcm_tpu.models.open_clap.embedders import (
+    FrozenLAIONCLAPEmbedder,
+    FrozenLAIONCLAPSetenceEmbedder,
+)
+from audiolcm_tpu.models.open_clap.loss import (
+    ClipLossConfig,
+    clip_loss,
+    gather_features,
+)
+
+__all__ = [
+    "AFF", "daf", "iAFF", "HTSAT", "HTSATConfig", "htsat_preset",
+    "PannAudioBranch", "PannConfig", "ClipTextTransformer", "RobertaConfig",
+    "RobertaEncoder", "MLPLayers", "OpenClap", "OpenClapConfig",
+    "MODEL_CONFIGS", "build_config", "create_model", "list_models",
+    "convert_open_clap", "convert_roberta", "FrozenLAIONCLAPEmbedder",
+    "FrozenLAIONCLAPSetenceEmbedder",
+]

@@ -1,0 +1,370 @@
+"""LAION open_clap parity tests: RoBERTa HF golden, Swin block torch-
+functional golden, fusion modules, factory/converter, CLAP forward,
+LAION embedder API."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audiolcm_tpu.models.open_clap import (
+    AFF,
+    HTSAT,
+    HTSATConfig,
+    OpenClap,
+    OpenClapConfig,
+    PannConfig,
+    RobertaConfig,
+    RobertaEncoder,
+    build_config,
+    convert_open_clap,
+    convert_roberta,
+    iAFF,
+    list_models,
+)
+from audiolcm_tpu.models.open_clap.htsat import SwinBlock, htsat_preset
+from audiolcm_tpu.models.open_clap.pann import PannAudioBranch
+
+
+def _np_sd(torch_model):
+    return {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+
+
+def test_roberta_matches_hf(rng):
+    torch = pytest.importorskip("torch")
+    from transformers import RobertaConfig as HFRobertaConfig
+    from transformers import RobertaModel
+
+    hf_cfg = HFRobertaConfig(
+        vocab_size=100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=66, pad_token_id=1, type_vocab_size=1,
+        layer_norm_eps=1e-5)  # roberta-base's published eps (HF class
+    # default is 1e-12, but the real checkpoint config says 1e-5)
+    torch.manual_seed(0)
+    hf = RobertaModel(hf_cfg, add_pooling_layer=True).eval()
+
+    ids = rng.integers(3, 100, size=(2, 16))
+    ids[0, 12:] = 1  # padding
+    mask = (ids != 1).astype(np.int64)
+    with torch.no_grad():
+        out = hf(input_ids=torch.from_numpy(ids),
+                 attention_mask=torch.from_numpy(mask))
+    cfg = RobertaConfig(vocab_size=100, hidden_size=32, num_layers=2,
+                        num_heads=4, intermediate_size=64,
+                        max_position_embeddings=66, layer_norm_eps=1e-5)
+    params = {"params": convert_roberta(_np_sd(hf), num_layers=2)}
+    hidden, pooled = RobertaEncoder(cfg).apply(
+        params, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(hidden),
+                               out.last_hidden_state.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pooled),
+                               out.pooler_output.numpy(), atol=2e-5)
+
+
+def test_swin_block_matches_torch_functional(rng):
+    """SwinBlock (shifted) vs a torch implementation following
+    open_clap/htsat.py:326-357,439-480 op-for-op."""
+    torch = pytest.importorskip("torch")
+    dim, heads, ws, shift = 8, 2, 4, 2
+    res = (8, 8)
+    blk = SwinBlock(dim, res, heads, ws, shift, mlp_ratio=2.0)
+    x = jnp.asarray(rng.standard_normal((2, res[0] * res[1], dim)),
+                    jnp.float32)
+    variables = blk.init(jax.random.key(0), x)
+    ours = np.asarray(blk.apply(variables, x))
+
+    p = jax.tree.map(lambda a: torch.from_numpy(np.asarray(a)),
+                     variables["params"])
+    tx = torch.from_numpy(np.asarray(x))
+
+    def ln(v, w):
+        return torch.nn.functional.layer_norm(
+            v, (dim,), w["scale"], w["bias"], eps=1e-5)
+
+    h, w_ = res
+    b = tx.shape[0]
+    shortcut = tx
+    v = ln(tx, p["norm1"]).view(b, h, w_, dim)
+    v = torch.roll(v, shifts=(-shift, -shift), dims=(1, 2))
+    v = v.view(b, h // ws, ws, w_ // ws, ws, dim)
+    windows = v.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, dim)
+    qkv = windows @ p["attn"]["qkv"]["kernel"] + p["attn"]["qkv"]["bias"]
+    qkv = qkv.reshape(-1, ws * ws, 3, heads, dim // heads).permute(2, 0, 3, 1, 4)
+    q, k, vv = qkv[0] * (dim // heads) ** -0.5, qkv[1], qkv[2]
+    attn = q @ k.transpose(-2, -1)
+    # relative position bias
+    from audiolcm_tpu.models.open_clap.htsat import (
+        _relative_position_index,
+        _shift_attn_mask,
+    )
+    idx = torch.from_numpy(_relative_position_index(ws).reshape(-1))
+    bias = p["attn"]["relative_position_bias_table"][idx].reshape(
+        ws * ws, ws * ws, heads).permute(2, 0, 1)
+    attn = attn + bias.unsqueeze(0)
+    mask = torch.from_numpy(_shift_attn_mask(h, w_, ws, shift))
+    nw = mask.shape[0]
+    attn = attn.view(-1, nw, heads, ws * ws, ws * ws) + mask[None, :, None]
+    attn = torch.softmax(attn.view(-1, heads, ws * ws, ws * ws), dim=-1)
+    out = (attn @ vv).transpose(1, 2).reshape(-1, ws * ws, dim)
+    out = out @ p["attn"]["proj"]["kernel"] + p["attn"]["proj"]["bias"]
+    out = out.view(-1, h // ws, w_ // ws, ws, ws, dim)
+    out = out.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w_, dim)
+    out = torch.roll(out, shifts=(shift, shift), dims=(1, 2))
+    v = shortcut + out.reshape(b, h * w_, dim)
+    y = ln(v, p["norm2"])
+    y = y @ p["fc1"]["kernel"] + p["fc1"]["bias"]
+    y = torch.nn.functional.gelu(y)
+    y = y @ p["fc2"]["kernel"] + p["fc2"]["bias"]
+    golden = (v + y).numpy()
+    np.testing.assert_allclose(ours, golden, atol=2e-5)
+
+
+def test_fusion_modules(rng):
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 8)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((2, 6, 6, 8)), jnp.float32)
+    aff = AFF(channels=8)
+    v = aff.init(jax.random.key(0), x, r)
+    out = aff.apply(v, x, r)
+    assert out.shape == x.shape
+    # AFF with zero conv weights -> sigmoid(0)=0.5 gate -> x + residual
+    zeroed = jax.tree.map(jnp.zeros_like, v["params"])
+    out0 = aff.apply({"params": zeroed, "batch_stats": v["batch_stats"]}, x, r)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(x + r), atol=1e-5)
+
+    ia = iAFF(channels=8)
+    vi = ia.init(jax.random.key(0), x, r)
+    assert ia.apply(vi, x, r).shape == x.shape
+    assert "global_att2" not in vi["params"]  # dead branch dropped
+
+
+def test_factory_configs():
+    assert "HTSAT-tiny" in list_models() and "PANN-14" in list_models()
+    cfg = build_config("HTSAT-tiny", "roberta", enable_fusion=True,
+                       fusion_type="aff_2d")
+    assert cfg.embed_dim == 768 and cfg.audio.embed_dim == 96
+    assert cfg.audio.enable_fusion and cfg.text_model_type == "roberta"
+    cfg2 = build_config("PANN-14-fmax-8k-20s", "transformer")
+    assert cfg2.audio.fmax == 8000.0 and cfg2.audio.hop_size == 360
+    with pytest.raises(RuntimeError):
+        build_config("nope", "roberta")
+
+
+def _tiny_htsat(**kw):
+    return HTSATConfig(spec_size=64, patch_size=4, patch_stride=(4, 4),
+                       embed_dim=16, depths=(1, 1), num_heads=(2, 2),
+                       window_size=4, num_classes=10, mel_bins=16,
+                       sample_rate=8000, hop_size=80, window_size_stft=256,
+                       **kw)
+
+
+def test_open_clap_forward_and_embeddings(rng):
+    cfg = OpenClapConfig(
+        embed_dim=32, audio=_tiny_htsat(),
+        text_model_type="transformer", text_width=16, text_layers=1,
+        text_heads=2, text_vocab=50, context_length=12,
+        joint_embed_shape=24)
+    model = OpenClap(cfg)
+    wav = jnp.asarray(rng.standard_normal((2, 8000)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 50, (2, 12)))
+    v = model.init(jax.random.key(0), waveform=wav, input_ids=ids)
+    a, t, am, tm, sa, st = model.apply(v, waveform=wav, input_ids=ids)
+    assert a.shape == (2, 24) and t.shape == (2, 24)
+    assert am.shape == (2, 24) and tm.shape == (2, 24)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(a), axis=-1), 1.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(sa), float(st), atol=1e-6)
+    assert abs(float(sa) - 1 / 0.07) < 1e-3
+
+    z = model.apply(v, ids, method=model.get_text_embedding)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(z), axis=-1), 1.0,
+                               atol=1e-5)
+
+
+def test_converter_htsat_structure(rng):
+    """Synthetic torch-layout state dict -> convert -> apply: validates the
+    full key mapping for the HTSAT + roberta + projections tree."""
+    torch = pytest.importorskip("torch")
+    from transformers import RobertaConfig as HFRobertaConfig
+    from transformers import RobertaModel
+
+    acfg = _tiny_htsat()
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+
+    def add_dense(prefix, din, dout, bias=True):
+        sd[f"{prefix}.weight"] = torch.randn((dout, din), generator=g) * 0.02
+        if bias:
+            sd[f"{prefix}.bias"] = torch.zeros(dout)
+
+    def add_norm(prefix, d):
+        sd[f"{prefix}.weight"] = torch.ones(d)
+        sd[f"{prefix}.bias"] = torch.zeros(d)
+
+    def add_bn(prefix, d):
+        add_norm(prefix, d)
+        sd[f"{prefix}.running_mean"] = torch.zeros(d)
+        sd[f"{prefix}.running_var"] = torch.ones(d)
+
+    a = "audio_branch"
+    add_bn(f"{a}.bn0", acfg.mel_bins)
+    sd[f"{a}.patch_embed.proj.weight"] = torch.randn(
+        (16, 1, 4, 4), generator=g) * 0.02
+    sd[f"{a}.patch_embed.proj.bias"] = torch.zeros(16)
+    add_norm(f"{a}.patch_embed.norm", 16)
+    for i, depth in enumerate(acfg.depths):
+        dim = 16 * 2**i
+        for j in range(depth):
+            p = f"{a}.layers.{i}.blocks.{j}"
+            add_norm(f"{p}.norm1", dim)
+            add_norm(f"{p}.norm2", dim)
+            add_dense(f"{p}.attn.qkv", dim, 3 * dim)
+            add_dense(f"{p}.attn.proj", dim, dim)
+            sd[f"{p}.attn.relative_position_bias_table"] = torch.zeros(
+                (7 * 7, acfg.num_heads[i]))
+            add_dense(f"{p}.mlp.fc1", dim, 4 * dim)
+            add_dense(f"{p}.mlp.fc2", 4 * dim, dim)
+        if i < len(acfg.depths) - 1:
+            add_norm(f"{a}.layers.{i}.downsample.norm", 4 * dim)
+            sd[f"{a}.layers.{i}.downsample.reduction.weight"] = torch.randn(
+                (2 * dim, 4 * dim), generator=g) * 0.02
+    add_norm(f"{a}.norm", acfg.num_features)
+    down = 2 ** (len(acfg.depths) - 1)
+    cfb = acfg.spec_size // down // acfg.patch_stride[0] // acfg.freq_ratio
+    sd[f"{a}.tscam_conv.weight"] = torch.randn(
+        (acfg.num_classes, acfg.num_features, cfb, 3), generator=g) * 0.02
+    sd[f"{a}.tscam_conv.bias"] = torch.zeros(acfg.num_classes)
+
+    hf = RobertaModel(HFRobertaConfig(
+        vocab_size=60, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=20, pad_token_id=1, type_vocab_size=1),
+        add_pooling_layer=True)
+    for k, t in hf.state_dict().items():
+        sd[f"text_branch.{k}"] = t
+    for name, din in (("text_projection", 16), ("audio_projection", 32)):
+        add_dense(f"{name}.0", din, 24)
+        add_dense(f"{name}.2", 24, 24)
+    for name in ("text_transform", "audio_transform"):
+        add_dense(f"{name}.sequential.0", 24, 24)
+        add_dense(f"{name}.sequential.3", 24, 24)
+    sd["logit_scale_a"] = torch.tensor(2.0)
+    sd["logit_scale_t"] = torch.tensor(2.0)
+
+    ccfg = OpenClapConfig(embed_dim=32, audio=acfg, text_model_type="roberta",
+                          joint_embed_shape=24)
+    np_sd = {k: v.numpy() for k, v in sd.items()}
+    variables = convert_open_clap(np_sd, ccfg)
+
+    # run the audio side end-to-end from the converted tree (the text side
+    # is covered by test_roberta_matches_hf)
+    model = OpenClap(ccfg)
+    wav = jnp.zeros((2, 8000))
+    variables = jax.tree.map(jnp.asarray, variables)
+    out = model.apply(variables, waveform=wav, method=model.encode_audio)
+    assert out["embedding"].shape == (2, acfg.num_features)
+    assert out["clipwise_output"].shape == (2, acfg.num_classes)
+
+
+def test_laion_embedder_api(monkeypatch, rng):
+    """FrozenLAIONCLAPEmbedder parity shapes on a scaled-down model."""
+    from audiolcm_tpu.models.open_clap import embedders as emb_mod
+
+    tiny_cfg = OpenClapConfig(
+        embed_dim=32, audio=_tiny_htsat(enable_fusion=True,
+                                        fusion_type="aff_2d"),
+        text_model_type="transformer", text_width=16, text_layers=1,
+        text_heads=2, text_vocab=50, context_length=77,
+        joint_embed_shape=24)
+
+    def fake_create_model(amodel, tmodel, pretrained="", enable_fusion=False,
+                          fusion_type="None"):
+        from audiolcm_tpu.models.open_clap.model import OpenClap
+
+        return OpenClap(tiny_cfg), tiny_cfg, None
+
+    monkeypatch.setattr(emb_mod, "create_model", fake_create_model)
+    e = emb_mod.FrozenLAIONCLAPEmbedder()
+    e.init_params(jax.random.key(0))
+    ids = jnp.asarray(rng.integers(0, 50, (2, 77)))
+    z = e.encode_ids(ids)
+    assert z.shape == (2, 77, 24)
+
+    e2 = emb_mod.FrozenLAIONCLAPEmbedder(sentence=True)
+    e2.init_params(jax.random.key(0))
+    z2 = e2.encode_ids(ids)
+    assert z2.shape == (2, 1, 24)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(z2)[:, 0], axis=-1), 1.0, atol=1e-5)
+
+
+def test_pann_variants(rng):
+    for name, emb in (("Cnn10", 1024), ("Cnn6", 512)):
+        cfg = PannConfig(model_name=name, sample_rate=8000, window_size=256,
+                         hop_size=80, classes_num=7)
+        m = PannAudioBranch(cfg)
+        wav = jnp.asarray(rng.standard_normal((1, 8000)), jnp.float32)
+        v = m.init(jax.random.key(0), waveform=wav)
+        out = m.apply(v, waveform=wav)
+        assert out["embedding"].shape == (1, emb)
+        assert out["clipwise_output"].shape == (1, 7)
+
+
+def test_clip_loss_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    from audiolcm_tpu.models.open_clap import ClipLossConfig, clip_loss
+
+    a = rng.standard_normal((6, 8)).astype(np.float32)
+    t = rng.standard_normal((6, 8)).astype(np.float32)
+    a /= np.linalg.norm(a, axis=-1, keepdims=True)
+    t /= np.linalg.norm(t, axis=-1, keepdims=True)
+    scale = 14.28
+
+    ours = float(clip_loss(jnp.asarray(a), jnp.asarray(t),
+                           jnp.asarray(scale)))
+    ta, tt = torch.from_numpy(a), torch.from_numpy(t)
+    labels = torch.arange(6)
+    golden = (torch.nn.functional.cross_entropy(scale * ta @ tt.T, labels)
+              + torch.nn.functional.cross_entropy(scale * tt @ ta.T, labels)) / 2
+    np.testing.assert_allclose(ours, float(golden), atol=1e-5)
+
+    # mlp_loss variant with dual scales
+    am = rng.standard_normal((6, 8)).astype(np.float32)
+    tm = rng.standard_normal((6, 8)).astype(np.float32)
+    ours_mlp = float(clip_loss(
+        jnp.asarray(a), jnp.asarray(t), jnp.asarray(scale),
+        jnp.asarray(7.0), jnp.asarray(am), jnp.asarray(tm),
+        cfg=ClipLossConfig(mlp_loss=True)))
+    tam, ttm = torch.from_numpy(am), torch.from_numpy(tm)
+    golden_mlp = (
+        torch.nn.functional.cross_entropy(scale * ta @ ttm.T, labels)
+        + torch.nn.functional.cross_entropy((scale * ta @ ttm.T).T, labels)
+        + torch.nn.functional.cross_entropy(7.0 * tam @ tt.T, labels)
+        + torch.nn.functional.cross_entropy((7.0 * tam @ tt.T).T, labels)) / 4
+    np.testing.assert_allclose(ours_mlp, float(golden_mlp), atol=1e-5)
+
+
+def test_clip_loss_sharded_matches_single(rng):
+    """all_gather path on the 8-device CPU mesh == single-device loss."""
+    from functools import partial
+
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from audiolcm_tpu.models.open_clap import ClipLossConfig, clip_loss
+
+    a = rng.standard_normal((16, 8)).astype(np.float32)
+    t = rng.standard_normal((16, 8)).astype(np.float32)
+    single = float(clip_loss(jnp.asarray(a), jnp.asarray(t), jnp.asarray(5.0)))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    cfg = ClipLossConfig(axis_name="data")
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("data"), P("data")),
+             out_specs=P(), check_rep=False)
+    def sharded(af, tf):
+        return clip_loss(af, tf, jnp.asarray(5.0), cfg=cfg)[None]
+
+    out = float(sharded(jnp.asarray(a), jnp.asarray(t))[0])
+    np.testing.assert_allclose(out, single, rtol=1e-5)
