@@ -28,6 +28,9 @@ def load_yaml(path: str) -> dict:
 
 
 def _build_dit(params: dict, cls=ConcatDiT2MLP):
+    kw = {}
+    if cls is ConcatDiT2MLP and params.get("out_channels"):
+        kw["out_channels"] = params["out_channels"]
     return cls(
         in_channels=params["in_channels"],
         context_dim=params["context_dim"],
@@ -35,6 +38,7 @@ def _build_dit(params: dict, cls=ConcatDiT2MLP):
         depth=params.get("depth", 4),
         num_heads=params.get("num_heads", 8),
         max_len=params.get("max_len", 1000),
+        **kw,
     )
 
 

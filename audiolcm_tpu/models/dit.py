@@ -136,6 +136,9 @@ class ConcatDiT2MLP(nn.Module):
     max_len: int = 1000
     remat: bool = False
     use_flash: bool = False
+    # reference hard-codes out = in (concatDiT.py:253); overridable here so
+    # the hybrid inpaint variant (x concat c_concat in, eps over z out) works
+    out_channels: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -147,7 +150,7 @@ class ConcatDiT2MLP(nn.Module):
     ) -> jnp.ndarray:
         """x: (B, T, in_ch) latent; t: (B,); context: (B, 2*Lc, context_dim).
 
-        Returns eps prediction (B, T, in_ch).
+        Returns eps prediction (B, T, out_ch or in_ch).
         """
         t_tok = TimestepEmbedder(self.hidden_size, name="t_embedder")(t, w_cond)[:, None, :]
         c1, c2 = jnp.split(context, 2, axis=1)
@@ -179,7 +182,8 @@ class ConcatDiT2MLP(nn.Module):
 
         h = h[:, extra_len:, :]
         h = nn.GroupNorm(num_groups=16, epsilon=1e-5, name="final_norm")(h)
-        return nn.Dense(self.in_channels, kernel_init=_xavier, name="final_conv")(h)
+        out_ch = self.out_channels or self.in_channels
+        return nn.Dense(out_ch, kernel_init=_xavier, name="final_conv")(h)
 
 
 class ConcatDiT(nn.Module):
