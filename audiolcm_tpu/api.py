@@ -75,12 +75,15 @@ def build_pipeline(
     guidance_scale: float = 5.0,
     compute_dtype=None,
     use_flash: Optional[bool] = None,
+    fast_snake: bool = False,
 ) -> AudioLCMPipeline:
     """Reference YAML + torch ckpts -> fully converted TPU pipeline.
 
     compute_dtype/use_flash default to the serving config on TPU
     (bf16 weights+activations, Pallas flash attention) and to f32/XLA
-    attention elsewhere; pass explicit values to override.
+    attention elsewhere; pass explicit values to override. fast_snake=True
+    swaps the vocoder snakes' cos for a polynomial (error below bf16
+    output resolution; see nn/snake.py) — opt-in, breaks bit-parity.
     """
     on_tpu = jax.default_backend() == "tpu"
     if compute_dtype is None:
@@ -94,6 +97,10 @@ def build_pipeline(
         cfg = _dc.replace(cfg, unet=cfg.unet.clone(use_flash=True))
     voc_sd, voc_args = load_vocoder_dir(vocoder_path)
     vocoder = cfg_mod.build_vocoder_from_args(voc_args)
+    if fast_snake:
+        import dataclasses as _dc
+
+        vocoder = vocoder.clone(config=_dc.replace(vocoder.config, fast_snake=True))
 
     modules = PipelineModules(
         dit=cfg.unet,

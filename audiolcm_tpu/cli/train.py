@@ -83,20 +83,38 @@ def _make_logdir(root: str, name: str, base_paths: List[str]) -> str:
 
 
 def _build_loader(cfg: dict, batch_size: int, split: str = "train"):
-    from audiolcm_tpu.data.datasets import BucketedBatchLoader, SpecDataset
+    """Loader factory (DataModuleFromConfig parity, `main.py:180-303`).
+
+    `spec_dir_path` -> single-pool bucketed loader; `main_spec_dir_path` +
+    `other_spec_dir_path` (teacher.yaml two-pool schema,
+    `joinaudiodataset_struct_sample_anylen.py:97-222`) -> main-pool batches
+    interleaved with random other-pool batches whose struct captions are
+    synthesized as `<cap& all>`. Validation draws from the main pool.
+    """
+    from audiolcm_tpu.data.datasets import (
+        BucketedBatchLoader,
+        SpecDataset,
+        TwoPoolBatchLoader,
+    )
 
     data_params = cfg.get("data", {}).get("params", {})
-    spec_dir = data_params.get("spec_dir_path")
+    mel_num = data_params.get("mel_num", 80)
+    spec_dir = data_params.get("spec_dir_path") or data_params.get("main_spec_dir_path")
     if spec_dir is None:
-        raise ValueError("data.params.spec_dir_path is required for training")
-    ds = SpecDataset(split, spec_dir, mel_num=data_params.get("mel_num", 80))
-    loader = BucketedBatchLoader(
-        ds,
+        raise ValueError(
+            "data.params.spec_dir_path (or main_spec_dir_path) is required for training"
+        )
+    make = lambda d, **kw: BucketedBatchLoader(
+        SpecDataset(split, d, mel_num=mel_num, **kw),
         batch_size,
         num_replicas=jax.process_count(),
         rank=jax.process_index(),
         shuffle=(split == "train"),
     )
+    loader = make(spec_dir)
+    other_dir = data_params.get("other_spec_dir_path")
+    if other_dir and split == "train":
+        loader = TwoPoolBatchLoader(loader, make(other_dir, synthesize_struct=True))
     return loader
 
 

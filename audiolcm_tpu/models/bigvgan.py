@@ -54,6 +54,10 @@ class BigVGANConfig:
     activation: str = "snakebeta"
     snake_logscale: bool = True
     resblock: str = "1"
+    # Serving option: polynomial cos inside the snakes (nn/snake.py:fast_cos;
+    # max err 4.8e-7 — below bf16 output resolution, but not bit-identical
+    # to the reference math, so off by default).
+    fast_snake: bool = False
 
     @property
     def total_upsample(self) -> int:
@@ -158,6 +162,7 @@ class AMPBlock1(nn.Module):
     snake_logscale: bool = True
     activation: str = "snakebeta"
     channels_first: bool = False
+    fast_snake: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -171,9 +176,9 @@ class AMPBlock1(nn.Module):
                 a2, b2 = _SnakeParams(self.snake_logscale, single, name=f"act2_{i}")(channels)
                 w1, c1b = _ConvParams(channels, self.kernel_size, name=f"conv1_{i}")(channels)
                 w2, c2b = _ConvParams(channels, self.kernel_size, name=f"conv2_{i}")(channels)
-                h = alias_free_snake_cf(x, a1, b1)
+                h = alias_free_snake_cf(x, a1, b1, fast=self.fast_snake)
                 h = conv1d_cf(h, w1.astype(x.dtype), c1b.astype(x.dtype), d)
-                h = alias_free_snake_cf(h, a2, b2)
+                h = alias_free_snake_cf(h, a2, b2, fast=self.fast_snake)
                 h = conv1d_cf(h, w2.astype(x.dtype), c2b.astype(x.dtype), 1)
                 x = x + h
             return x
@@ -181,8 +186,8 @@ class AMPBlock1(nn.Module):
         channels = x.shape[-1]
         act_cls = SnakeBeta if self.activation == "snakebeta" else Snake
         for i, d in enumerate(self.dilations):
-            a1 = act_cls(self.snake_logscale, name=f"act1_{i}")
-            a2 = act_cls(self.snake_logscale, name=f"act2_{i}")
+            a1 = act_cls(self.snake_logscale, fast=self.fast_snake, name=f"act1_{i}")
+            a2 = act_cls(self.snake_logscale, fast=self.fast_snake, name=f"act2_{i}")
             h = _alias_free(x, a1)
             h = _conv1d(channels, self.kernel_size, d, name=f"conv1_{i}")(h)
             h = _alias_free(h, a2)
@@ -198,13 +203,14 @@ class AMPBlock2(nn.Module):
     dilations: Sequence[int]
     snake_logscale: bool = True
     activation: str = "snakebeta"
+    fast_snake: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         channels = x.shape[-1]
         act_cls = SnakeBeta if self.activation == "snakebeta" else Snake
         for i, d in enumerate(self.dilations):
-            a = act_cls(self.snake_logscale, name=f"act_{i}")
+            a = act_cls(self.snake_logscale, fast=self.fast_snake, name=f"act_{i}")
             h = _alias_free(x, a)
             h = _conv1d(channels, self.kernel_size, d, name=f"conv_{i}")(h)
             x = x + h
@@ -242,18 +248,21 @@ class BigVGAN(nn.Module):
                 if cfg.resblock == "1":
                     h = AMPBlock1(
                         rk, tuple(rd), cfg.snake_logscale, cfg.activation,
-                        channels_first=cf, name=f"resblock_{i}_{j}",
+                        channels_first=cf, fast_snake=cfg.fast_snake,
+                        name=f"resblock_{i}_{j}",
                     )(x)
                 else:
                     h = AMPBlock2(
                         rk, tuple(rd), cfg.snake_logscale, cfg.activation,
-                        name=f"resblock_{i}_{j}",
+                        fast_snake=cfg.fast_snake, name=f"resblock_{i}_{j}",
                     )(x)
                 acc = h if acc is None else acc + h
             x = acc / num_kernels
             if cf:
                 x = jnp.transpose(x, (0, 2, 1))
         act_cls = SnakeBeta if cfg.activation == "snakebeta" else Snake
-        x = _alias_free(x, act_cls(cfg.snake_logscale, name="act_post"))
+        x = _alias_free(
+            x, act_cls(cfg.snake_logscale, fast=cfg.fast_snake, name="act_post")
+        )
         x = _conv1d(1, 7, name="conv_post")(x)
         return jnp.tanh(x)[..., 0]

@@ -39,19 +39,25 @@ def _corr_t(xp: jnp.ndarray, taps, out_len: int) -> jnp.ndarray:
     return acc
 
 
-def alias_free_snake_cf(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
+def alias_free_snake_cf(
+    x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, fast: bool = False
+) -> jnp.ndarray:
     """(B, C, T) fused down2x(snakebeta(up2x(x))); alpha/beta (C,) linear scale.
 
     Same analytic polyphase composition as resample.alias_free_activation_fused
     (interleave eliminated; boundary = edge replication on the interleaved u).
+    fast=True uses the polynomial cos (see nn/snake.py).
     """
+    from audiolcm_tpu.nn.snake import fast_cos
+
+    cos = fast_cos if fast else jnp.cos
     t = x.shape[-1]
     xp5 = jnp.pad(x, ((0, 0), (0, 0), (5, 5)), mode="edge")
     ue = _corr_t(jax.lax.slice_in_dim(xp5, 2, xp5.shape[-1], axis=-1), _UP_E, t)
     uo = _corr_t(jax.lax.slice_in_dim(xp5, 3, xp5.shape[-1], axis=-1), _UP_O, t)
     a = alpha[None, :, None]
     binv = (1.0 / (beta + 1e-9))[None, :, None]
-    sin2 = lambda h: 0.5 * (1.0 - jnp.cos(2.0 * a * h))
+    sin2 = lambda h: 0.5 * (1.0 - cos(2.0 * a * h))
     ae = ue + sin2(ue) * binv
     ao = uo + sin2(uo) * binv
     left = jnp.broadcast_to(ae[:, :, :1], ae.shape[:2] + (3,))

@@ -60,10 +60,13 @@ def main():
     compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     use_flash = jax.default_backend() == "tpu"
 
+    # fast_snake: polynomial cos in the vocoder snakes — error (<5e-7) is far
+    # below the bf16 serving output resolution (tested); set =0 for exact cos
+    fast_snake = os.environ.get("AUDIOLCM_FAST_SNAKE", "1") == "1"
     modules = PipelineModules(
         dit=ConcatDiT2MLP(use_flash=use_flash),
         vae=AutoencoderKL1D(VAEConfig()),
-        vocoder=BigVGAN(BigVGANConfig()),
+        vocoder=BigVGAN(BigVGANConfig(fast_snake=fast_snake)),
         clap_text=ClapTextEncoder(BertConfig()),
         t5=T5Encoder(T5Config()),
     )

@@ -186,8 +186,10 @@ def test_build_pipeline_serving_flags(synthetic_ckpt):
 
     cfg_path, ckpt_path, voc_dir = synthetic_ckpt
     pipe = build_pipeline(cfg_path, ckpt_path, voc_dir,
-                          compute_dtype=jnp.bfloat16, use_flash=True)
+                          compute_dtype=jnp.bfloat16, use_flash=True,
+                          fast_snake=True)
     assert pipe.modules.dit.use_flash is True
+    assert pipe.modules.vocoder.config.fast_snake is True
     assert pipe.compute_dtype == jnp.bfloat16
     leaves = [l for l in jax.tree.leaves(pipe.params) if hasattr(l, "dtype")]
     assert any(l.dtype == jnp.bfloat16 for l in leaves)

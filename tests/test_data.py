@@ -146,3 +146,59 @@ def test_melprep_roundtrip(tmp_path):
     loaded = load_wav_mono_16k(str(wav_path2))
     assert loaded.ndim == 1
     assert abs(len(loaded) - 16000 / 44100 * len(wav)) < 10
+
+
+def test_build_loader_two_pool_schema(manifest_dir, tmp_path):
+    """CLI loader factory honors teacher.yaml's two-pool schema
+    (main_spec_dir_path + other_spec_dir_path): train interleaves an
+    other-pool batch after each main batch with synthesized struct
+    captions; validation draws from the main pool only."""
+    from audiolcm_tpu.cli.train import _build_loader
+
+    rng = np.random.default_rng(1)
+
+    def make_pool(root, prefix, with_caption):
+        mel_dir = root / "mels"
+        mel_dir.mkdir(parents=True)
+        rows = []
+        for i in range(104):  # first 100 rows are val; 4 train rows
+            t = 70 + (i % 4) * 10
+            path = mel_dir / f"{prefix}{i}.npy"
+            np.save(path, rng.standard_normal((8, t)).astype(np.float32))
+            row = {"name": f"{prefix}{i}", "dataset": "d",
+                   "ori_cap": f"{prefix} cap {i}", "mel_path": str(path),
+                   "audio_path": "/none", "duration": t / 62.5}
+            if with_caption:
+                row["caption"] = f"<{prefix} cap {i}& struct>"
+            rows.append(row)
+        pd.DataFrame(rows).to_csv(root / "data.tsv", sep="\t", index=False)
+
+    main_dir, other_dir = tmp_path / "main", tmp_path / "other"
+    make_pool(main_dir, "main", with_caption=True)
+    make_pool(other_dir, "other", with_caption=False)  # struct synthesized
+
+    cfg = {"data": {"params": {"main_spec_dir_path": str(main_dir),
+                               "other_spec_dir_path": str(other_dir),
+                               "mel_num": 8}}}
+    train = _build_loader(cfg, batch_size=2, split="train")
+    assert isinstance(train, TwoPoolBatchLoader)
+    # interleave: even positions main, odd positions other
+    batches = list(train)
+    assert len(batches) == 2 * len(train.main)
+    assert all(n.startswith("main") for n in batches[0]["names"])
+    assert all(n.startswith("other") for n in batches[1]["names"])
+    assert batches[0]["struct_caption"][0].endswith("& struct>")
+    assert batches[1]["struct_caption"][0].startswith("<other cap")
+    assert batches[1]["struct_caption"][0].endswith("& all>")
+
+    # validation draws from the main pool only
+    val = _build_loader(cfg, batch_size=2, split="valid")
+    assert isinstance(val, BucketedBatchLoader)
+    assert all(n.startswith("main") for b in val for n in b["names"])
+
+    # single-pool schema still works
+    single = _build_loader(
+        {"data": {"params": {"spec_dir_path": str(main_dir), "mel_num": 8}}},
+        batch_size=2, split="valid",
+    )
+    assert isinstance(single, BucketedBatchLoader)

@@ -225,3 +225,46 @@ def test_bigvgan_cf_stages_match_cl(rng):
         np.asarray(m_cf.apply(params, mel)), np.asarray(m_cl.apply(params, mel)),
         atol=2e-4,
     )
+
+
+def test_fast_cos_accuracy():
+    """Polynomial cos (serving fast path): error stays below 1e-6 in f32
+    across the snake argument range, including large args (Cody-Waite)."""
+    from audiolcm_tpu.nn.snake import fast_cos
+
+    r = np.random.default_rng(0)
+    for scale in (3.0, 300.0, 3000.0):
+        v = (r.standard_normal(100_000) * scale).astype(np.float32)
+        ours = np.asarray(fast_cos(jnp.asarray(v)))
+        golden = np.cos(v.astype(np.float64)).astype(np.float32)
+        assert np.max(np.abs(ours - golden)) < 1e-6
+
+
+def test_fast_snake_matches_exact(rng):
+    """fast_snake: elementwise error ~1e-6; the full generator output (both
+    layouts) stays within float tolerance of the exact-cos path."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 4)).astype(np.float32) * 3.0)
+    alpha = jnp.exp(jnp.asarray(rng.standard_normal(4).astype(np.float32)))
+    beta = jnp.exp(jnp.asarray(rng.standard_normal(4).astype(np.float32)))
+    exact = np.asarray(snake_beta(x, alpha, beta))
+    fast = np.asarray(snake_beta(x, alpha, beta, fast=True))
+    np.testing.assert_allclose(fast, exact, atol=2e-6)
+
+    cfg = BigVGANConfig(
+        num_mels=8, upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    mel = jnp.asarray(rng.standard_normal((1, 16, 8)).astype(np.float32) * 0.3)
+    import dataclasses
+
+    fast_cfg = dataclasses.replace(cfg, fast_snake=True)
+    for cf_max in (0, 96):  # channels-last and channels-first stage paths
+        m_exact = BigVGAN(cfg, cf_max_channels=cf_max)
+        m_fast = BigVGAN(fast_cfg, cf_max_channels=cf_max)
+        params = m_exact.init(jax.random.PRNGKey(0), mel)
+        np.testing.assert_allclose(
+            np.asarray(m_fast.apply(params, mel)),
+            np.asarray(m_exact.apply(params, mel)),
+            atol=1e-4,
+        )
