@@ -225,9 +225,49 @@ class AMPBlock2(nn.Module):
 _CF_STAGE_MAX_CHANNELS = 48
 
 
+class _AMPBlockParams(nn.Module):
+    """AMPBlock1's exact param tree, returned as raw arrays for the fused
+    Pallas stage (nn/pallas_amp_stage.py). Sub-module names match AMPBlock1's
+    (act1_i/act2_i/conv1_i/conv2_i), so checkpoints are path-agnostic."""
+
+    kernel_size: int
+    dilations: Sequence[int]
+    snake_logscale: bool = True
+    single: bool = False
+
+    @nn.compact
+    def __call__(self, channels: int) -> dict:
+        subs = []
+        for i in range(len(self.dilations)):
+            a1, b1 = _SnakeParams(self.snake_logscale, self.single, name=f"act1_{i}")(channels)
+            a2, b2 = _SnakeParams(self.snake_logscale, self.single, name=f"act2_{i}")(channels)
+            w1, c1b = _ConvParams(channels, self.kernel_size, name=f"conv1_{i}")(channels)
+            w2, c2b = _ConvParams(channels, self.kernel_size, name=f"conv2_{i}")(channels)
+            subs.append({"a1": a1, "b1": b1, "w1": w1, "c1b": c1b,
+                         "a2": a2, "b2": b2, "w2": w2, "c2b": c2b})
+        return {"sub": subs}
+
+
+def _pick_stage_tile(t: int, max_tile: int = 9984, min_tile: int = 2048) -> int:
+    """Largest multiple-of-128 tile <= max_tile that divides t (with at least
+    two tiles); 0 if none — caller falls back to the unfused path."""
+    for mult in range(max_tile // 128, min_tile // 128 - 1, -1):
+        tile = mult * 128
+        if t % tile == 0 and t >= 2 * tile:
+            return tile
+    return 0
+
+
 class BigVGAN(nn.Module):
     config: BigVGANConfig = BigVGANConfig()
     cf_max_channels: int = _CF_STAGE_MAX_CHANNELS
+    # Serving knob: stages with ch <= this run as ONE fused Pallas kernel
+    # (nn/pallas_amp_stage.py) computing the whole 3-resblock stage per VMEM
+    # tile — measured 2.4x over the cf XLA path at C=24 (111 -> 47 ms, b8
+    # 10 s bf16). 0 = off (default: the Mosaic compile of the big unrolled
+    # stage adds tens of minutes cold, so it is opt-in for serving).
+    pallas_stage_max_channels: int = 0
+    pallas_interpret: bool = False  # tests: run the kernel in interpret mode
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
@@ -238,6 +278,16 @@ class BigVGAN(nn.Module):
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
             x = ConvTranspose1dTorchParity(ch, k, u, name=f"ups_{i}")(x)
+            if (
+                cfg.resblock == "1"
+                and cfg.activation == "snakebeta"
+                and ch <= self.pallas_stage_max_channels
+                and all(tuple(rd) == tuple(cfg.resblock_dilation_sizes[0])
+                        for rd in cfg.resblock_dilation_sizes)
+                and (tile := _pick_stage_tile(x.shape[1]))
+            ):
+                x = self._pallas_stage(x, i, tile)
+                continue
             cf = cfg.resblock == "1" and ch <= self.cf_max_channels
             if cf:
                 x = jnp.transpose(x, (0, 2, 1))  # one transpose per stage
@@ -266,3 +316,42 @@ class BigVGAN(nn.Module):
         )
         x = _conv1d(1, 7, name="conv_post")(x)
         return jnp.tanh(x)[..., 0]
+
+    def _pallas_stage(self, x: jnp.ndarray, i: int, tile: int) -> jnp.ndarray:
+        """Whole upsample stage i (3 resblocks averaged) as one fused Pallas
+        kernel. Param tree identical to the AMPBlock1 path; boundary strips
+        (where padding semantics apply) are stitched from the unfused cf math."""
+        from audiolcm_tpu.nn.pallas_amp_stage import fused_amp_stage_cl_batched
+        from audiolcm_tpu.nn.resample_cf import alias_free_snake_cf, conv1d_cf
+
+        cfg = self.config
+        ch = x.shape[-1]
+        kernel_sizes = tuple(cfg.resblock_kernel_sizes)
+        dilations = tuple(cfg.resblock_dilation_sizes[0])
+        sp = [
+            _AMPBlockParams(
+                rk, dilations, cfg.snake_logscale, name=f"resblock_{i}_{j}"
+            )(ch)
+            for j, rk in enumerate(kernel_sizes)
+        ]
+        sp = jax.tree.map(lambda a: a.astype(x.dtype), sp)
+
+        def ref_fn(xl: jnp.ndarray) -> jnp.ndarray:
+            h = jnp.transpose(xl, (0, 2, 1))
+            acc = None
+            for bi in range(len(kernel_sizes)):
+                h_res = h
+                for si, d in enumerate(dilations):
+                    p = sp[bi]["sub"][si]
+                    y = alias_free_snake_cf(h_res, p["a1"], p["b1"], fast=cfg.fast_snake)
+                    y = conv1d_cf(y, p["w1"], p["c1b"], d)
+                    y = alias_free_snake_cf(y, p["a2"], p["b2"], fast=cfg.fast_snake)
+                    y = conv1d_cf(y, p["w2"], p["c2b"], 1)
+                    h_res = h_res + y
+                acc = h_res if acc is None else acc + h_res
+            return jnp.transpose(acc / len(kernel_sizes), (0, 2, 1))
+
+        return fused_amp_stage_cl_batched(
+            x, sp, kernel_sizes, dilations, reference_fn=ref_fn, tile=tile,
+            interpret=self.pallas_interpret, fast=cfg.fast_snake,
+        )

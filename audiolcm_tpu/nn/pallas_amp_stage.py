@@ -59,9 +59,13 @@ def _corr(x: jnp.ndarray, taps, start: int, out_len: int) -> jnp.ndarray:
     return acc
 
 
-def valid_alias_free_snake(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
+def valid_alias_free_snake(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
+                           fast: bool = False) -> jnp.ndarray:
     """(L, C) -> (L - 2*R_ACT, C); out[t] == padded_op(x)[t + R_ACT] for
     interior windows. alpha/beta already exponentiated (linear scale)."""
+    from audiolcm_tpu.nn.snake import fast_cos
+
+    cos = fast_cos if fast else jnp.cos
     l = x.shape[0]
     out_len = l - 2 * R_ACT
     # up phases for j in [3, l-3): ue[j] = sum_d x[j-3+d]*UP_EVEN[d],
@@ -69,7 +73,7 @@ def valid_alias_free_snake(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray
     n_u = l - 6
     ue = _corr(x, UP_EVEN, 0, n_u)
     uo = _corr(x, UP_ODD, 1, n_u)
-    sin2 = lambda h: 0.5 * (1.0 - jnp.cos(2.0 * alpha * h))
+    sin2 = lambda h: 0.5 * (1.0 - cos(2.0 * alpha * h))
     ae = ue + sin2(ue) / (beta + 1e-9)
     ao = uo + sin2(uo) / (beta + 1e-9)
     # y[t] = sum_j DOWN_E[j]*ao[t+j-3] + DOWN_O[j]*ae[t+j-2], t in [6, l-6)
@@ -112,7 +116,8 @@ def stage_radius(kernel_sizes: Sequence[int], dilations: Sequence[int]) -> int:
 
 
 def stage_valid(x: jnp.ndarray, stage_params: List[dict],
-                kernel_sizes: Sequence[int], dilations: Sequence[int]) -> jnp.ndarray:
+                kernel_sizes: Sequence[int], dilations: Sequence[int],
+                fast: bool = False) -> jnp.ndarray:
     """(L, C) -> (L - 2*R, C): the full stage with valid semantics.
 
     stage_params[b] = {"sub": [ {a1, b1, w1, c1b, a2, b2, w2, c2b} x len(dilations) ]}
@@ -126,9 +131,9 @@ def stage_valid(x: jnp.ndarray, stage_params: List[dict],
         h_res = x
         for si, d in enumerate(dilations):
             p = stage_params[bi]["sub"][si]
-            h = valid_alias_free_snake(h_res, p["a1"], p["b1"])
+            h = valid_alias_free_snake(h_res, p["a1"], p["b1"], fast)
             h = valid_conv(h, p["w1"], p["c1b"], d)
-            h = valid_alias_free_snake(h, p["a2"], p["b2"])
+            h = valid_alias_free_snake(h, p["a2"], p["b2"], fast)
             h = valid_conv(h, p["w2"], p["c2b"], 1)
             h_res = _center(h_res, h.shape[0]) + h
         contrib = _center(h_res, out_len)
@@ -178,8 +183,12 @@ def _corr_cl(x: jnp.ndarray, taps, start: int, out_len: int) -> jnp.ndarray:
     return acc
 
 
-def valid_alias_free_snake_cl(x: jnp.ndarray, alpha, beta) -> jnp.ndarray:
+def valid_alias_free_snake_cl(x: jnp.ndarray, alpha, beta,
+                              fast: bool = False) -> jnp.ndarray:
     """(C, L) -> (C, L - 2*R_ACT); alpha/beta (C,)."""
+    from audiolcm_tpu.nn.snake import fast_cos
+
+    cos = fast_cos if fast else jnp.cos
     l = x.shape[1]
     out_len = l - 2 * R_ACT
     n_u = l - 6
@@ -187,7 +196,7 @@ def valid_alias_free_snake_cl(x: jnp.ndarray, alpha, beta) -> jnp.ndarray:
     uo = _corr_cl(x, UP_ODD, 1, n_u)
     a = alpha[:, None]
     binv = 1.0 / (beta + 1e-9)
-    sin2 = lambda h: 0.5 * (1.0 - jnp.cos(2.0 * a * h))
+    sin2 = lambda h: 0.5 * (1.0 - cos(2.0 * a * h))
     ae = ue + sin2(ue) * binv[:, None]
     ao = uo + sin2(uo) * binv[:, None]
     y = _corr_cl(ao, DOWN_E, 0, out_len)
@@ -214,7 +223,8 @@ def _center_cl(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
 
 
 def stage_valid_cl(x: jnp.ndarray, stage_params: List[dict],
-                   kernel_sizes: Sequence[int], dilations: Sequence[int]) -> jnp.ndarray:
+                   kernel_sizes: Sequence[int], dilations: Sequence[int],
+                   fast: bool = False) -> jnp.ndarray:
     """(C, L) layout stage_valid; stage_params weights under 'w1t'/'w2t' are
     (k, C_out, C_in)."""
     r_total = stage_radius(kernel_sizes, dilations)
@@ -224,9 +234,9 @@ def stage_valid_cl(x: jnp.ndarray, stage_params: List[dict],
         h_res = x
         for si, d in enumerate(dilations):
             p = stage_params[bi]["sub"][si]
-            h = valid_alias_free_snake_cl(h_res, p["a1"], p["b1"])
+            h = valid_alias_free_snake_cl(h_res, p["a1"], p["b1"], fast)
             h = valid_conv_cl(h, p["w1t"], p["c1b"], d)
-            h = valid_alias_free_snake_cl(h, p["a2"], p["b2"])
+            h = valid_alias_free_snake_cl(h, p["a2"], p["b2"], fast)
             h = valid_conv_cl(h, p["w2t"], p["c2b"], 1)
             h_res = _center_cl(h_res, h.shape[1]) + h
         contrib = _center_cl(h_res, out_len)
@@ -247,6 +257,7 @@ def fused_amp_stage(
     reference_fn=None,  # (B, L, C) -> (B, L, C): padded-path fn for boundary strips
     tile: int = 16384,
     interpret: bool = False,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Tile `stage_valid` over T with halo DMA; stitch boundary strips from
     `reference_fn` (the unfused module) so sequence-edge padding semantics
@@ -296,7 +307,7 @@ def fused_amp_stage(
                     subs.append({"a1": a1, "b1": b1, "c1b": c1b, "a2": a2,
                                  "b2": b2, "c2b": c2b, "w1": w1, "w2": w2})
                 params.append({"sub": subs})
-            y = stage_valid(xblk, params, kernel_sizes, dilations)
+            y = stage_valid(xblk, params, kernel_sizes, dilations, fast)
             out_ref[:, :] = _center(y, tile)
 
         pl.run_scoped(
@@ -326,8 +337,8 @@ def fused_amp_stage(
         ref_len = strip + r + 128
         left = reference_fn(x[:, : ref_len + r, :])[:, :strip, :]
         right = reference_fn(x[:, -(ref_len + r):, :])[:, -strip:, :]
-        out = out.at[:, :strip, :].set(left)
-        out = out.at[:, -strip:, :].set(right)
+        out = out.at[:, :strip, :].set(left.astype(out.dtype))
+        out = out.at[:, -strip:, :].set(right.astype(out.dtype))
     return out
 
 
@@ -339,6 +350,7 @@ def fused_amp_stage_cl(
     reference_fn=None,
     tile: int = 16384,
     interpret: bool = False,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Transposed-layout fused stage: compute happens on (C, L) tiles so
     time rides the full 128-lane axis (C=24 minormost wastes >3/4 lanes).
@@ -386,7 +398,7 @@ def fused_amp_stage_cl(
                     subs.append({"a1": a1, "b1": b1, "c1b": c1b, "a2": a2,
                                  "b2": b2, "c2b": c2b, "w1t": w1t, "w2t": w2t})
                 params.append({"sub": subs})
-            y = stage_valid_cl(xblk, params, kernel_sizes, dilations)
+            y = stage_valid_cl(xblk, params, kernel_sizes, dilations, fast)
             out_ref[:, :] = _center_cl(y, tile)
 
         pl.run_scoped(
@@ -417,6 +429,95 @@ def fused_amp_stage_cl(
         ref_len = strip + r + 128
         left = reference_fn(x[:, : ref_len + r, :])[:, :strip, :]
         right = reference_fn(x[:, -(ref_len + r):, :])[:, -strip:, :]
-        out = out.at[:, :strip, :].set(left)
-        out = out.at[:, -strip:, :].set(right)
+        out = out.at[:, :strip, :].set(left.astype(out.dtype))
+        out = out.at[:, -strip:, :].set(right.astype(out.dtype))
+    return out
+
+
+def fused_amp_stage_cl_batched(
+    x: jnp.ndarray,  # (B, T, C)
+    stage_params: List[dict],
+    kernel_sizes: Sequence[int],
+    dilations: Sequence[int],
+    reference_fn=None,
+    tile: int = 16384,
+    interpret: bool = False,
+    fast: bool = False,
+) -> jnp.ndarray:
+    """fused_amp_stage_cl with a single 2D-grid pallas_call over
+    (batch, tiles) instead of a per-batch Python loop of kernels — one
+    dispatch for the whole stage, and the grid exposes batch-level
+    parallelism to the pipeline scheduler."""
+    b, t, c = x.shape
+    r = stage_radius(kernel_sizes, dilations)
+    halo = (r + 127) // 128 * 128
+    if t % tile != 0 or t < 2 * tile:
+        return reference_fn(x)
+
+    n_sub = len(dilations)
+    flat: List[jnp.ndarray] = []
+    for bi in range(len(kernel_sizes)):
+        for si in range(n_sub):
+            p = stage_params[bi]["sub"][si]
+            for key in ("a1", "b1", "c1b", "a2", "b2", "c2b"):
+                flat.append(jnp.asarray(p[key])[:, None])  # (C, 1)
+            flat.append(jnp.transpose(jnp.asarray(p["w1"]), (0, 2, 1)))
+            flat.append(jnp.transpose(jnp.asarray(p["w2"]), (0, 2, 1)))
+
+    def kernel(x_hbm, *refs):
+        out_ref = refs[-1]
+        prefs = refs[:-1]
+        ib = pl.program_id(0)
+        it = pl.program_id(1)
+
+        def body(scratch, sem):
+            cp = pltpu.make_async_copy(
+                x_hbm.at[ib, :, pl.ds(it * tile, tile + 2 * halo)], scratch, sem
+            )
+            cp.start()
+            cp.wait()
+            xblk = scratch[:]
+
+            params = []
+            idx = 0
+            for bi in range(len(kernel_sizes)):
+                subs = []
+                for si in range(n_sub):
+                    a1, b1, c1b, a2, b2, c2b = (prefs[idx + j][:, 0] for j in range(6))
+                    w1t = prefs[idx + 6][:]
+                    w2t = prefs[idx + 7][:]
+                    idx += 8
+                    subs.append({"a1": a1, "b1": b1, "c1b": c1b, "a2": a2,
+                                 "b2": b2, "c2b": c2b, "w1t": w1t, "w2t": w2t})
+                params.append({"sub": subs})
+            y = stage_valid_cl(xblk, params, kernel_sizes, dilations, fast)
+            out_ref[0, :, :] = _center_cl(y, tile)
+
+        pl.run_scoped(
+            body,
+            scratch=pltpu.VMEM((c, tile + 2 * halo), x.dtype),
+            sem=pltpu.SemaphoreType.DMA(()),
+        )
+
+    x_ct = jnp.transpose(x, (0, 2, 1))
+    xp = jnp.pad(x_ct, ((0, 0), (0, 0), (halo, halo)))
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, t // tile),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(flat),
+        out_specs=pl.BlockSpec((1, c, tile), lambda ib, it: (ib, 0, it),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, t), x.dtype),
+        interpret=interpret,
+    )(xp, *flat)
+    out = jnp.transpose(out, (0, 2, 1))
+
+    if reference_fn is not None:
+        strip = halo
+        ref_len = strip + r + 128
+        left = reference_fn(x[:, : ref_len + r, :])[:, :strip, :]
+        right = reference_fn(x[:, -(ref_len + r):, :])[:, -strip:, :]
+        out = out.at[:, :strip, :].set(left.astype(out.dtype))
+        out = out.at[:, -strip:, :].set(right.astype(out.dtype))
     return out

@@ -63,10 +63,16 @@ def main():
     # fast_snake: polynomial cos in the vocoder snakes — error (<5e-7) is far
     # below the bf16 serving output resolution (tested); set =0 for exact cos
     fast_snake = os.environ.get("AUDIOLCM_FAST_SNAKE", "1") == "1"
+    # pallas_stage: stages with C <= this run as one fused Pallas kernel
+    # (2.4x over the cf XLA path at C=24; see nn/pallas_amp_stage.py).
+    # Cold Mosaic compile of the unrolled stage is tens of minutes — the
+    # persistent cache above makes reruns cheap.
+    pallas_max = int(os.environ.get("AUDIOLCM_PALLAS_STAGE_MAX", "24"))
     modules = PipelineModules(
         dit=ConcatDiT2MLP(use_flash=use_flash),
         vae=AutoencoderKL1D(VAEConfig()),
-        vocoder=BigVGAN(BigVGANConfig(fast_snake=fast_snake)),
+        vocoder=BigVGAN(BigVGANConfig(fast_snake=fast_snake),
+                        pallas_stage_max_channels=pallas_max),
         clap_text=ClapTextEncoder(BertConfig()),
         t5=T5Encoder(T5Config()),
     )

@@ -113,3 +113,54 @@ def test_fused_amp_stage_cl_matches_reference(rng):
         )
     )
     np.testing.assert_allclose(out, golden, atol=5e-4)
+
+
+def test_fused_amp_stage_cl_batched_matches_reference(rng):
+    from audiolcm_tpu.nn.pallas_amp_stage import fused_amp_stage_cl_batched
+
+    kernel_sizes, dilations = (3, 7, 11), (1, 3, 5)
+    x, amp_params, reference_fn = _make_stage(rng, t=2048, kernel_sizes=kernel_sizes)
+    sp = extract_stage_params(amp_params, len(dilations))
+    golden = np.asarray(reference_fn(x))
+    out = np.asarray(
+        fused_amp_stage_cl_batched(
+            x, sp, kernel_sizes, dilations, reference_fn=reference_fn,
+            tile=512, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, golden, atol=5e-4)
+
+
+def test_fused_stage_fast_cos_close(rng):
+    """fast=True (polynomial cos) stays within float tolerance of exact."""
+    from audiolcm_tpu.nn.pallas_amp_stage import stage_valid
+
+    kernel_sizes, dilations = (3, 7), (1, 3)
+    x, amp_params, _ = _make_stage(rng, t=512, kernel_sizes=kernel_sizes,
+                                   dilations=dilations)
+    sp = extract_stage_params(amp_params, len(dilations))
+    exact = np.asarray(stage_valid(x[0], sp, kernel_sizes, dilations))
+    fast = np.asarray(stage_valid(x[0], sp, kernel_sizes, dilations, fast=True))
+    np.testing.assert_allclose(fast, exact, atol=1e-4)
+
+
+def test_bigvgan_pallas_stage_matches_module_path(rng):
+    """Full BigVGAN with the serving pallas_stage_max_channels knob equals the
+    plain module path (interpret mode; same param tree, so checkpoints are
+    knob-agnostic)."""
+    from audiolcm_tpu.models.bigvgan import BigVGAN, BigVGANConfig
+
+    cfg = BigVGANConfig()
+    mel = jnp.asarray(rng.standard_normal((1, 16, 80)).astype(np.float32)) * 0.3
+    plain = BigVGAN(cfg)
+    fused = BigVGAN(cfg, pallas_stage_max_channels=24, pallas_interpret=True)
+
+    params = plain.init(jax.random.PRNGKey(0), mel)
+    assert jax.tree_util.tree_structure(
+        jax.eval_shape(lambda: fused.init(jax.random.PRNGKey(0), mel))
+    ) == jax.tree_util.tree_structure(params)
+
+    golden = np.asarray(plain.apply(params, mel))
+    out = np.asarray(fused.apply(params, mel))
+    assert out.shape == golden.shape
+    np.testing.assert_allclose(out, golden, atol=2e-5)

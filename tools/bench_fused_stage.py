@@ -35,9 +35,10 @@ def timeit(fn, *args, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
-def make_stage(c, channels_first):
+def make_stage(c, channels_first, fast=False):
     rng = np.random.default_rng(0)
-    mods = [AMPBlock1(k, DIL, channels_first=channels_first) for k in KS]
+    mods = [AMPBlock1(k, DIL, channels_first=channels_first, fast_snake=fast)
+            for k in KS]
     x0 = jnp.zeros((1, 256, c)) if not channels_first else jnp.zeros((1, c, 256))
     variables = [m.init(jax.random.PRNGKey(i), x0) for i, m in enumerate(mods)]
     # randomize so snakes aren't degenerate
@@ -58,18 +59,21 @@ def make_stage(c, channels_first):
 
 
 def main():
+    import sys as _sys
+
+    fast = (_sys.argv[1] == "1") if len(_sys.argv) > 1 else True
     dtype = jnp.bfloat16
     for c, t, tile in ((48, 79872, 9984), (24, 159744, 9984)):
         x = jax.random.normal(jax.random.PRNGKey(1), (8, t, c), dtype)
-        params, ref_fn = make_stage(c, channels_first=True)
+        params, ref_fn = make_stage(c, channels_first=True, fast=fast)
         sp = extract_stage_params(params, len(DIL))
         sp = jax.tree.map(lambda a: a.astype(dtype), sp)
 
         xla = jax.jit(ref_fn)
         loop = jax.jit(lambda v: fused_amp_stage_cl(
-            v, sp, KS, DIL, reference_fn=ref_fn, tile=tile))
+            v, sp, KS, DIL, reference_fn=ref_fn, tile=tile, fast=fast))
         grid = jax.jit(lambda v: fused_amp_stage_cl_batched(
-            v, sp, KS, DIL, reference_fn=ref_fn, tile=tile))
+            v, sp, KS, DIL, reference_fn=ref_fn, tile=tile, fast=fast))
 
         t_xla = timeit(xla, x)
         t_loop = timeit(loop, x)

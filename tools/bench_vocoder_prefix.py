@@ -21,8 +21,11 @@ from audiolcm_tpu.models.bigvgan import (
 
 
 class BigVGANPrefix(nn.Module):
+    """Mirrors BigVGAN.__call__'s stage dispatch (cf layout + fast_snake)."""
+
     config: BigVGANConfig
     num_stages: int
+    cf_max_channels: int = 48
 
     @nn.compact
     def __call__(self, mel):
@@ -33,13 +36,20 @@ class BigVGANPrefix(nn.Module):
             u, k = cfg.upsample_rates[i], cfg.upsample_kernel_sizes[i]
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
             x = ConvTranspose1dTorchParity(ch, k, u, name=f"ups_{i}")(x)
+            cf = ch <= self.cf_max_channels
+            if cf:
+                x = jnp.transpose(x, (0, 2, 1))
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
             ):
-                h = AMPBlock1(rk, tuple(rd), name=f"resblock_{i}_{j}")(x)
+                h = AMPBlock1(rk, tuple(rd), channels_first=cf,
+                              fast_snake=cfg.fast_snake,
+                              name=f"resblock_{i}_{j}")(x)
                 acc = h if acc is None else acc + h
             x = acc / nk
+            if cf:
+                x = jnp.transpose(x, (0, 2, 1))
         return x
 
 
@@ -59,7 +69,8 @@ def timeit(fn, *args, iters=5):
 def main():
     dtype = jnp.bfloat16
     b = 8
-    cfg = BigVGANConfig()
+    fast = os.environ.get("AUDIOLCM_FAST_SNAKE", "1") == "1"
+    cfg = BigVGANConfig(fast_snake=fast)
     rng = jax.random.PRNGKey(0)
     mel = jax.random.normal(rng, (b, 624, 80), dtype)
     prev = 0.0

@@ -55,10 +55,12 @@ def main():
     dtype = jnp.bfloat16 if (len(sys.argv) < 4 or sys.argv[3] == "bf16") else jnp.float32
     use_flash = jax.default_backend() == "tpu"
 
+    fast_snake = os.environ.get("AUDIOLCM_FAST_SNAKE", "1") == "1"
+    cf_max = int(os.environ.get("AUDIOLCM_CF_MAX", "48"))
     modules = PipelineModules(
         dit=ConcatDiT2MLP(use_flash=use_flash),
         vae=AutoencoderKL1D(VAEConfig()),
-        vocoder=BigVGAN(BigVGANConfig()),
+        vocoder=BigVGAN(BigVGANConfig(fast_snake=fast_snake), cf_max_channels=cf_max),
         clap_text=ClapTextEncoder(BertConfig()),
         t5=T5Encoder(T5Config()),
     )
