@@ -284,7 +284,11 @@ class BigVGAN(nn.Module):
                 and ch <= self.pallas_stage_max_channels
                 and all(tuple(rd) == tuple(cfg.resblock_dilation_sizes[0])
                         for rd in cfg.resblock_dilation_sizes)
-                and (tile := _pick_stage_tile(x.shape[1]))
+                # constant C*tile budget: Mosaic compile time and VMEM both
+                # scale with the (C, tile) block, so wider stages tile shorter
+                and (tile := _pick_stage_tile(
+                    x.shape[1], max_tile=max(2048, (9984 * 24 // ch) // 128 * 128)
+                ))
             ):
                 x = self._pallas_stage(x, i, tile)
                 continue

@@ -147,3 +147,84 @@ def test_convert_cnn14_structure(rng):
     out = Cnn14(cfg).apply(variables, jnp.zeros((1, 8000)))
     assert out.shape == (1, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vggish_golden_vs_torch_functional(rng):
+    """JAX VGGish == functional torch re-derivation of the VGG tower under a
+    converted torchvggish-layout state dict (pins conv/flatten/linear layout)."""
+    import torch
+    import torch.nn.functional as F
+
+    from audiolcm_tpu.models.vggish import VGGish, convert_vggish
+
+    conv_shapes = [(64, 1), (128, 64), (256, 128), (256, 256), (512, 256), (512, 512)]
+    sd = {}
+    for t, (o, i) in zip((0, 3, 6, 8, 11, 13), conv_shapes):
+        sd[f"features.{t}.weight"] = rng.standard_normal((o, i, 3, 3)).astype(np.float32) * 0.05
+        sd[f"features.{t}.bias"] = rng.standard_normal(o).astype(np.float32) * 0.05
+    for t, (o, i) in zip((0, 2, 4), [(4096, 12288), (4096, 4096), (128, 4096)]):
+        sd[f"embeddings.{t}.weight"] = rng.standard_normal((o, i)).astype(np.float32) * 0.01
+        sd[f"embeddings.{t}.bias"] = rng.standard_normal(o).astype(np.float32) * 0.01
+
+    x = rng.standard_normal((2, 96, 64)).astype(np.float32)
+
+    with torch.no_grad():
+        h = torch.from_numpy(x)[:, None]  # (B, 1, 96, 64)
+        for idx, t in enumerate((0, 3, 6, 8, 11, 13)):
+            h = F.relu(F.conv2d(h, torch.from_numpy(sd[f"features.{t}.weight"]),
+                                torch.from_numpy(sd[f"features.{t}.bias"]), padding=1))
+            if idx in (0, 1, 3, 5):
+                h = F.max_pool2d(h, 2, 2)
+        h = torch.transpose(h, 1, 3)
+        h = torch.transpose(h, 1, 2)
+        h = h.contiguous().view(h.size(0), -1)
+        for t in (0, 2, 4):
+            h = F.relu(F.linear(h, torch.from_numpy(sd[f"embeddings.{t}.weight"]),
+                                torch.from_numpy(sd[f"embeddings.{t}.bias"])))
+        golden = h.numpy()
+
+    model = VGGish()
+    variables = jax.tree.map(jnp.asarray, convert_vggish(sd))
+    init_shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 64))))
+    assert jax.tree_util.tree_structure(init_shapes) == jax.tree_util.tree_structure(variables)
+    out = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert out.shape == (2, 128)
+    np.testing.assert_allclose(out, golden, atol=2e-4)
+
+
+def test_vggish_log_mel_examples_vs_numpy(rng):
+    """Frontend parity with Google's mel_features math (pad-free framing,
+    periodic Hann, end-padded rfft, HTK mel, log offset, 96-frame examples)."""
+    from audiolcm_tpu.models.vggish import (
+        VGGishConfig,
+        vggish_log_mel_examples,
+        vggish_mel_matrix,
+    )
+
+    cfg = VGGishConfig()
+    wav = rng.standard_normal((1, 16000)).astype(np.float32) * 0.1
+
+    n_frames = 1 + (16000 - cfg.stft_window) // cfg.stft_hop
+    window = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(cfg.stft_window) / cfg.stft_window)
+    frames = np.stack([wav[0, i * cfg.stft_hop : i * cfg.stft_hop + cfg.stft_window]
+                       for i in range(n_frames)])
+    mag = np.abs(np.fft.rfft(frames * window, n=cfg.fft_length, axis=-1))
+    mel = np.log(mag @ vggish_mel_matrix(cfg) + cfg.log_offset)
+    n_ex = n_frames // cfg.example_frames
+    golden = mel[: n_ex * cfg.example_frames].reshape(n_ex, cfg.example_frames, cfg.mel_bins)
+
+    out = np.asarray(vggish_log_mel_examples(jnp.asarray(wav), cfg))
+    assert out.shape == (1, n_ex, cfg.example_frames, cfg.mel_bins)
+    np.testing.assert_allclose(out[0], golden, atol=1e-4)
+
+
+def test_vggish_postprocess_quantize():
+    from audiolcm_tpu.models.vggish import vggish_postprocess
+
+    emb = jnp.asarray(np.linspace(-5, 5, 2 * 128, dtype=np.float32).reshape(2, 128))
+    eig = jnp.eye(128)
+    means = jnp.zeros((128,))
+    out = np.asarray(vggish_postprocess(emb, eig, means))
+    assert out.min() >= 0.0 and out.max() <= 255.0
+    raw = np.asarray(vggish_postprocess(emb, eig, means, quantize=False))
+    assert raw.min() == -2.0 and raw.max() == 2.0
