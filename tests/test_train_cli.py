@@ -79,3 +79,37 @@ def test_vae_train_cli_end_to_end(vae_train_setup, tmp_path):
     assert val_lines and np.isfinite(val_lines[-1]["val/nll_loss"])
     ckpts = os.listdir(os.path.join(rundir, "checkpoints"))
     assert ckpts  # at least the end-of-epoch save
+
+
+def test_build_loader_multihost_sharding(vae_train_setup, monkeypatch):
+    """Multi-host wiring: with N simulated processes, `_build_loader` gives
+    each host a disjoint batch shard whose union covers every train sample
+    exactly once (DDPIndexBatchSampler `batches[rank::world]` parity)."""
+    import jax
+
+    from audiolcm_tpu.cli.train import _build_loader
+
+    cfg_path, _ = vae_train_setup
+    cfg = yaml.safe_load(open(cfg_path))
+
+    def names_of(loader):
+        seen = []
+        for batch in loader:
+            seen.extend(batch["f_name"] if "f_name" in batch else batch["names"])
+        return seen
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    shards = []
+    for rank in (0, 1):
+        monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+        loader = _build_loader(cfg, batch_size=2, split="train")
+        loader.set_epoch(0)
+        shards.append(set(tuple(b) for b in loader._batches))
+
+    assert shards[0].isdisjoint(shards[1])
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    full = _build_loader(cfg, batch_size=2, split="train")
+    assert set().union(*shards) == set(tuple(b) for b in full._batches)
+    # per-host batch counts are balanced to within one batch
+    assert abs(len(shards[0]) - len(shards[1])) <= 1
