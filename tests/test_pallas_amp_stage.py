@@ -131,6 +131,55 @@ def test_fused_amp_stage_cl_batched_matches_reference(rng):
     np.testing.assert_allclose(out, golden, atol=5e-4)
 
 
+def test_fused_stage_bf16_error_not_worse_than_xla_path(rng):
+    """f32 tap/residual accumulation (VERDICT round-1 #3): in bf16 the fused
+    path must be at least as accurate as the per-op-rounding XLA path."""
+    from audiolcm_tpu.nn.pallas_amp_stage import fused_amp_stage_cl_batched
+
+    kernel_sizes, dilations = (3, 7, 11), (1, 3, 5)
+    x, amp_params, reference_fn = _make_stage(rng, t=2048, kernel_sizes=kernel_sizes)
+    sp = extract_stage_params(amp_params, len(dilations))
+    golden = np.asarray(reference_fn(x)).astype(np.float64)
+    scale = np.abs(golden).mean()
+
+    bf16 = jnp.bfloat16
+    x_b = x.astype(bf16)
+    amp_b = jax.tree.map(lambda v: v.astype(bf16), amp_params)
+    sp_b = extract_stage_params(amp_b, len(dilations))
+
+    def reference_fn_b(xb):
+        from audiolcm_tpu.models.bigvgan import AMPBlock1
+
+        acc = None
+        for k, p in zip(kernel_sizes, amp_b):
+            h = AMPBlock1(k, dilations).apply({"params": p}, xb)
+            acc = h if acc is None else acc + h
+        return acc / len(kernel_sizes)
+
+    xla_err = np.abs(
+        np.asarray(reference_fn_b(x_b)).astype(np.float64) - golden
+    ).mean() / scale
+    fused = fused_amp_stage_cl_batched(
+        x_b, sp_b, kernel_sizes, dilations, reference_fn=reference_fn_b,
+        tile=512, interpret=True,
+    )
+    fused_err = np.abs(np.asarray(fused).astype(np.float64) - golden).mean() / scale
+    assert fused.dtype == bf16
+    # boundary strips reuse the XLA path, so parity there; the f32-accumulated
+    # interior must pull the mean at or below the XLA path's error
+    assert fused_err <= xla_err * 1.02, (fused_err, xla_err)
+
+
+def test_fused_stage_fallback_without_reference_fn_raises(rng):
+    kernel_sizes, dilations = (3, 7), (1, 3)
+    x, amp_params, _ = _make_stage(rng, t=1000, kernel_sizes=kernel_sizes,
+                                   dilations=dilations)
+    sp = extract_stage_params(amp_params, len(dilations))
+    with pytest.raises(ValueError, match="divisible"):
+        fused_amp_stage(x, sp, kernel_sizes, dilations, reference_fn=None,
+                        tile=512, interpret=True)
+
+
 def test_fused_stage_fast_cos_close(rng):
     """fast=True (polynomial cos) stays within float tolerance of exact."""
     from audiolcm_tpu.nn.pallas_amp_stage import stage_valid
