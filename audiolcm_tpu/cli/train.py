@@ -104,8 +104,8 @@ def _build_loader(cfg: dict, batch_size: int, split: str = "train"):
         raise ValueError(
             "data.params.spec_dir_path (or main_spec_dir_path) is required for training"
         )
-    make = lambda d, **kw: BucketedBatchLoader(
-        SpecDataset(split, d, mel_num=mel_num, **kw),
+    make = lambda d, split_=split, **kw: BucketedBatchLoader(
+        SpecDataset(split_, d, mel_num=mel_num, **kw),
         batch_size,
         num_replicas=jax.process_count(),
         rank=jax.process_index(),
@@ -114,7 +114,11 @@ def _build_loader(cfg: dict, batch_size: int, split: str = "train"):
     loader = make(spec_dir)
     other_dir = data_params.get("other_spec_dir_path")
     if other_dir and split == "train":
-        loader = TwoPoolBatchLoader(loader, make(other_dir, synthesize_struct=True))
+        # the other pool has no val carve-out — the reference splits only the
+        # main pool (joinaudiodataset_struct_sample_anylen.py:41-46)
+        loader = TwoPoolBatchLoader(
+            loader, make(other_dir, split_="all", synthesize_struct=True)
+        )
     return loader
 
 

@@ -198,9 +198,19 @@ class TwoPoolBatchLoader:
 
     def __iter__(self) -> Iterator[dict]:
         rng = np.random.default_rng(self.main.seed + self.main.epoch)
-        other_batches = list(range(len(self.other._batches)))
-        for batch in self.main:
+        n_other = len(self.other._batches)
+        n_main = len(self.main)
+        # distinct other-batch picks per epoch, matching the reference's
+        # np.random.choice(..., replace=False); when the other pool is the
+        # smaller one, chain full permutations so coverage stays maximal
+        if n_other >= n_main:
+            order = rng.choice(n_other, size=n_main, replace=False)
+        else:
+            reps = -(-n_main // n_other)
+            order = np.concatenate(
+                [rng.permutation(n_other) for _ in range(reps)]
+            )[:n_main]
+        for batch, oi in zip(self.main, order):
             yield batch
-            oi = int(rng.integers(0, len(other_batches)))
-            samples = [self.other.dataset[i] for i in self.other._batches[oi]]
+            samples = [self.other.dataset[i] for i in self.other._batches[int(oi)]]
             yield collate_pad(samples, pad_value=self.other.dataset.pad_value)

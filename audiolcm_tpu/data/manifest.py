@@ -43,6 +43,11 @@ def split_dataframe(df: pd.DataFrame, split: str) -> pd.DataFrame:
         out = df.iloc[:100]
     elif split == "test":
         out = add_name_num(df)
+    elif split == "all":
+        # no validation carve-out: the struct other-pool trains on the full
+        # manifest (joinaudiodataset_struct_sample_anylen.py:41-46 splits only
+        # the main pool)
+        out = df
     else:
         raise ValueError(f"Unknown split {split!r}")
     return out.reset_index(drop=True)

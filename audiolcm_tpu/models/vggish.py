@@ -95,7 +95,8 @@ class VGGish(nn.Module):
     config: VGGishConfig = VGGishConfig()
 
     @nn.compact
-    def __call__(self, examples: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, examples: jnp.ndarray,
+                 include_final_relu: bool = True) -> jnp.ndarray:
         x = examples[..., None]  # NHWC (B, 96, 64, 1)
         for i, width in enumerate((64, 128, 256, 256, 512, 512)):
             x = nn.Conv(width, (3, 3), padding=[(1, 1), (1, 1)], name=f"conv{i}")(x)
@@ -106,14 +107,22 @@ class VGGish(nn.Module):
         x = x.reshape(x.shape[0], -1)  # (B, 6*4*512)
         x = nn.relu(nn.Dense(4096, name="fc0")(x))
         x = nn.relu(nn.Dense(4096, name="fc1")(x))
-        x = nn.relu(nn.Dense(self.config.embedding_dim, name="fc2")(x))
-        return x
+        x = nn.Dense(self.config.embedding_dim, name="fc2")(x)
+        # FAD embeddings are the RAW fc2 output: the reference builds VGGish
+        # with use_activation=False (wav_evaluation/metrics/fad.py:53-61),
+        # stripping this last ReLU. Keep it only for the full torchvggish
+        # forward (e.g. feeding the PCA postprocessor).
+        return nn.relu(x) if include_final_relu else x
 
-    def embed_waveform(self, variables, wav: jnp.ndarray) -> jnp.ndarray:
-        """wav (B, L) -> (B*num_examples, 128): frontend + tower."""
+    def embed_waveform(self, variables, wav: jnp.ndarray,
+                       include_final_relu: bool = False) -> jnp.ndarray:
+        """wav (B, L) -> (B*num_examples, 128): frontend + tower.
+
+        Defaults to the pre-activation fc2 output — the FAD convention
+        (reference fad.py:53-61 passes use_activation=False)."""
         ex = vggish_log_mel_examples(wav, self.config)
         flat = ex.reshape(-1, self.config.example_frames, self.config.mel_bins)
-        return self.apply(variables, flat)
+        return self.apply(variables, flat, include_final_relu=include_final_relu)
 
 
 def vggish_postprocess(

@@ -118,6 +118,21 @@ def test_two_pool_loader(manifest_dir):
     assert len(batches) == 2 * len(main)
 
 
+def test_two_pool_other_batches_distinct_per_epoch(manifest_dir):
+    """Other-pool picks are without replacement within an epoch (reference
+    DDPIndexBatchSampler uses np.random.choice(..., replace=False)): with
+    equal pool sizes every other-pool batch appears exactly once."""
+    ds = SpecDataset("test", manifest_dir, mel_num=8)
+    main = BucketedBatchLoader(ds, batch_size=2, shuffle=False)
+    other = BucketedBatchLoader(ds, batch_size=2, shuffle=False)
+    loader = TwoPoolBatchLoader(main, other)
+    for epoch in range(3):
+        loader.set_epoch(epoch)
+        batches = list(loader)
+        other_names = [tuple(b["names"]) for b in batches[1::2]]
+        assert len(set(other_names)) == len(other._batches)
+
+
 def test_melprep_roundtrip(tmp_path):
     from scipy.io import wavfile
 
@@ -182,6 +197,10 @@ def test_build_loader_two_pool_schema(manifest_dir, tmp_path):
                                "mel_num": 8}}}
     train = _build_loader(cfg, batch_size=2, split="train")
     assert isinstance(train, TwoPoolBatchLoader)
+    # the other pool has NO 100-row val carve-out (reference splits only the
+    # main pool, joinaudiodataset_struct_sample_anylen.py:41-46)
+    assert len(train.other.dataset) == 104
+    assert len(train.main.dataset) == 4
     # interleave: even positions main, odd positions other
     batches = list(train)
     assert len(batches) == 2 * len(train.main)

@@ -192,6 +192,22 @@ def test_vggish_golden_vs_torch_functional(rng):
     np.testing.assert_allclose(out, golden, atol=2e-4)
 
 
+def test_vggish_fad_embeddings_are_preactivation(rng):
+    """embed_waveform defaults to the raw fc2 output (reference FAD builds
+    VGGish with use_activation=False, fad.py:53-61): relu(raw) == the full
+    forward, and the raw embeddings carry negative values the ReLU'd path
+    would destroy."""
+    from audiolcm_tpu.models.vggish import VGGish
+
+    model = VGGish()
+    wav = jnp.asarray(rng.standard_normal((1, 16000)).astype(np.float32) * 0.1)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 64)))
+    raw = np.asarray(model.embed_waveform(variables, wav))
+    full = np.asarray(model.embed_waveform(variables, wav, include_final_relu=True))
+    np.testing.assert_allclose(np.maximum(raw, 0.0), full, atol=1e-6)
+    assert (raw < 0).any(), "pre-activation embeddings should have negatives"
+
+
 def test_vggish_log_mel_examples_vs_numpy(rng):
     """Frontend parity with Google's mel_features math (pad-free framing,
     periodic Hann, end-padded rfft, HTK mel, log offset, 96-frame examples)."""
