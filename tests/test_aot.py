@@ -1,0 +1,54 @@
+"""AOT executable persistence (audiolcm_tpu/aot.py)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from audiolcm_tpu import aot
+
+
+def _jit_fn():
+    def f(params, x, n):
+        return {"y": params["w"] * x + n, "s": x.sum()}
+
+    return jax.jit(f, static_argnums=(2,))
+
+
+def test_load_or_compile_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("AUDIOLCM_AOT_CACHE", str(tmp_path))
+    params = {"w": jnp.full((8,), 2.0)}
+    x = jnp.arange(8.0)
+    args = (params, x, 5)
+
+    f1, how1 = aot.load_or_compile("t", _jit_fn(), args, extra=("cfg", 1))
+    assert how1 == "compiled"
+    out1 = f1(params, x)  # dynamic args only; the static n=5 is baked in
+
+    f2, how2 = aot.load_or_compile("t", _jit_fn(), args, extra=("cfg", 1))
+    assert how2 == "loaded"
+    out2 = f2(params, x)
+    np.testing.assert_allclose(np.asarray(out1["y"]), np.asarray(out2["y"]))
+    np.testing.assert_allclose(np.asarray(out1["y"]), np.arange(8.0) * 2.0 + 5)
+
+
+def test_fingerprint_invalidates_on_config(tmp_path, monkeypatch):
+    monkeypatch.setenv("AUDIOLCM_AOT_CACHE", str(tmp_path))
+    params = {"w": jnp.ones((4,))}
+    x = jnp.ones((4,))
+    _, how1 = aot.load_or_compile("t", _jit_fn(), (params, x, 1), extra=("a",))
+    _, how2 = aot.load_or_compile("t", _jit_fn(), (params, x, 1), extra=("b",))
+    assert how1 == how2 == "compiled"  # different config -> different artifact
+    assert aot.source_fingerprint(("a",)) != aot.source_fingerprint(("b",))
+
+
+def test_corrupt_artifact_falls_back(tmp_path, monkeypatch):
+    monkeypatch.setenv("AUDIOLCM_AOT_CACHE", str(tmp_path))
+    params = {"w": jnp.ones((4,))}
+    x = jnp.ones((4,))
+    key = aot.source_fingerprint(())
+    bad = tmp_path / f"t-{key}.pkl"
+    bad.write_bytes(b"not a pickle")
+    f, how = aot.load_or_compile("t", _jit_fn(), (params, x, 0), extra=())
+    assert how == "compiled"
+    np.testing.assert_allclose(np.asarray(f(params, x)["y"]), np.ones(4))
