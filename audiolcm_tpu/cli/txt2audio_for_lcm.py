@@ -28,7 +28,11 @@ def parse_args(argv: Optional[List[str]] = None):
     p = argparse.ArgumentParser()
     p.add_argument("--prompt_txt", type=str, default="prompt.txt")
     p.add_argument("--sample_rate", type=int, default=16000)
-    p.add_argument("--test-dataset", dest="test_dataset", default="none")
+    p.add_argument("--test-dataset", dest="test_dataset", default="none",
+                   help="dataset name (tsv comes from the config), or a "
+                        "direct path to a .tsv file")
+    p.add_argument("--limit", type=int, default=None,
+                   help="generate only the first N test-set rows")
     p.add_argument("--outdir", type=str, default="outputs/txt2audio-samples")
     p.add_argument("--ddim_steps", type=int, default=2)
     p.add_argument("--plms", action="store_true")
@@ -97,11 +101,14 @@ def main(argv: Optional[List[str]] = None):
     if opt.test_dataset != "none":
         raw_cfg = cfg_mod.load_yaml(opt.base)
         tds_cfg = raw_cfg.get("test_dataset", {}).get("params", {})
-        ds = TSVDatasetStruct(
-            tds_cfg.get("tsv_path", "audiocaps_test_16000_struct.tsv"),
-            tds_cfg.get("spec_crop_len", 624),
-        )
-        items = [ds[i] for i in range(len(ds))]
+        # a direct .tsv path overrides the config (acceptance-loop use)
+        if opt.test_dataset.endswith(".tsv") and os.path.exists(opt.test_dataset):
+            tsv_path = opt.test_dataset
+        else:
+            tsv_path = tds_cfg.get("tsv_path", "audiocaps_test_16000_struct.tsv")
+        ds = TSVDatasetStruct(tsv_path, tds_cfg.get("spec_crop_len", 624))
+        n_rows = len(ds) if opt.limit is None else min(opt.limit, len(ds))
+        items = [ds[i] for i in range(n_rows)]
         for start in range(0, len(items), opt.batch_size):
             chunk = items[start : start + opt.batch_size]
             pad = opt.batch_size - len(chunk)

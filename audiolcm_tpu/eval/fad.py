@@ -59,12 +59,39 @@ def load_wav_dir(path: str, limit: int | None = None) -> List[np.ndarray]:
     import glob
     import os
 
+    return load_wav_paths(sorted(glob.glob(os.path.join(path, "*.wav")))[:limit])
+
+
+def load_wav_paths(paths: Iterable[str]) -> List[np.ndarray]:
     from scipy.io import wavfile
 
     wavs = []
-    for f in sorted(glob.glob(os.path.join(path, "*.wav")))[:limit]:
+    for f in paths:
         _, data = wavfile.read(f)
         if data.dtype == np.int16:
             data = data.astype(np.float32) / 32768.0
         wavs.append(np.asarray(data, dtype=np.float32))
     return wavs
+
+
+def make_logmel_stats_embedder() -> Callable[[np.ndarray], np.ndarray]:
+    """Checkpoint-free FAD embedding: per-clip mean+std over time of the
+    80-bin generation log-mel (160-d).
+
+    Far weaker than VGGish (no learned features) but needs no weights, so the
+    acceptance loop runs end-to-end before real checkpoints exist and gives a
+    quick distribution-shift signal. Short clips are zero-padded to one STFT
+    window."""
+    from audiolcm_tpu.dsp.mel import MelConfig, MelSpectrogram
+
+    mel = MelSpectrogram(MelConfig())
+    min_len = mel.config.n_fft + mel.config.hop_size
+
+    def embed(wav: np.ndarray) -> np.ndarray:
+        wav = np.asarray(wav, dtype=np.float32).reshape(-1)
+        if len(wav) < min_len:
+            wav = np.pad(wav, (0, min_len - len(wav)))
+        m = np.asarray(mel(wav))[0]  # (80, T)
+        return np.concatenate([m.mean(axis=1), m.std(axis=1)])[None, :]
+
+    return embed
