@@ -264,6 +264,19 @@ def stage_valid_cl(x: jnp.ndarray, stage_params: List[dict],
 # ---------------------------------------------------------------------------
 
 
+def _compiler_params(n_grid_dims: int):
+    """Raise the per-kernel scoped-VMEM limit: f32 tap/residual accumulation
+    roughly doubles the live working set vs the bf16 kernel (measured 18.55M
+    at C=48/tile=4992 vs the 16M default limit); v5e has 128MiB of physical
+    VMEM and this kernel hand-manages its only DMA, so granting it most of
+    the core's VMEM is safe. Grid dims are fully parallel (independent
+    tiles)."""
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel",) * n_grid_dims,
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+
+
 def _fallback(reference_fn, x, t, tile):
     """Untileable length -> the padded reference path, with a clear error for
     standalone callers that passed no reference_fn (ADVICE round 1)."""
@@ -353,6 +366,7 @@ def fused_amp_stage(
             out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((t, c), x.dtype),
+            compiler_params=_compiler_params(1),
             interpret=interpret,
         )(xp, *flat)
 
@@ -444,6 +458,7 @@ def fused_amp_stage_cl(
             out_specs=pl.BlockSpec((c, tile), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((c, t), x.dtype),
+            compiler_params=_compiler_params(1),
             interpret=interpret,
         )(xp, *flat)
 
@@ -536,6 +551,7 @@ def fused_amp_stage_cl_batched(
         out_specs=pl.BlockSpec((1, c, tile), lambda ib, it: (ib, 0, it),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, t), x.dtype),
+        compiler_params=_compiler_params(2),
         interpret=interpret,
     )(xp, *flat)
     out = jnp.transpose(out, (0, 2, 1))
