@@ -244,10 +244,42 @@ def run_vae_training(cfg, args, logdir, ndev, batch_size):
     val_loader = _build_tile_loader(cfg, batch_size, spec_len, split="valid")
     ckpt = CheckpointManager(os.path.join(logdir, "checkpoints"),
                              monitor=None, max_to_keep=3)
-    Trainer(
+    trainer = Trainer(
         step_fn, state, logdir, checkpoints=ckpt,
         val_fn=_make_val_fn(step_fn, val_loader(0)),
-    ).fit(loader, num_epochs=args.max_epochs, rng=jax.random.PRNGKey(args.seed))
+    )
+    # AudioLogger parity (main.py:452-530): every sample_every steps render
+    # a fixed val batch's inputs + current reconstructions as .npy and TB
+    # mel figures
+    trainer.sample_logger = _make_vae_sample_logger(
+        trainer, val_loader(0), vae_apply, logdir
+    )
+    trainer.fit(loader, num_epochs=args.max_epochs,
+                rng=jax.random.PRNGKey(args.seed))
+
+
+def _make_vae_sample_logger(trainer, val_iterable, vae_apply, logdir,
+                            max_items: int = 4):
+    """(state, step) callback logging inputs once and reconstructions of a
+    fixed val batch at each trigger."""
+    from audiolcm_tpu.train.logging import AudioSampleLogger
+
+    batch = next(iter(val_iterable), None)
+    if batch is None:
+        return None
+    fixed = jnp.asarray(batch["mel"].transpose(0, 2, 1))[:max_items]
+    recon_jit = jax.jit(lambda p, x: vae_apply(p, x, jax.random.PRNGKey(0))[0])
+    audio_log = AudioSampleLogger(logdir, tb=trainer.tb, max_items=max_items)
+    logged_inputs = [False]
+
+    def sample_logger(state, step):
+        if not logged_inputs[0]:
+            audio_log(np.asarray(fixed), step, split="inputs")
+            logged_inputs[0] = True
+        audio_log(np.asarray(recon_jit(state.ae_params, fixed)), step,
+                  split="reconstructions")
+
+    return sample_logger
 
 
 def run_vae_variant_training(cfg, args, logdir, ndev, batch_size, vae,
@@ -348,10 +380,15 @@ def run_vae_variant_training(cfg, args, logdir, ndev, batch_size, vae,
     val_loader = _build_tile_loader(cfg, batch_size, spec_len, split="valid")
     ckpt = CheckpointManager(os.path.join(logdir, "checkpoints"),
                              monitor=None, max_to_keep=3)
-    Trainer(
+    trainer = Trainer(
         step_fn, state, logdir, checkpoints=ckpt,
         val_fn=_make_val_fn(step_fn, val_loader(0)),
-    ).fit(loader, num_epochs=args.max_epochs, rng=jax.random.PRNGKey(args.seed))
+    )
+    trainer.sample_logger = _make_vae_sample_logger(
+        trainer, val_loader(0), vae_apply, logdir
+    )
+    trainer.fit(loader, num_epochs=args.max_epochs,
+                rng=jax.random.PRNGKey(args.seed))
 
 
 def _set_in(tree, path, value):

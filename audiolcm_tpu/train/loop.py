@@ -73,11 +73,18 @@ class Trainer:
         log_every: int = 50,
         sample_every: int = 5000,
         checkpoint_every_steps: int = 10000,
+        tensorboard: bool = True,
     ):
         self.step_fn = step_fn
         self.state = state
         self.logdir = logdir
         self.metrics = MetricsLogger(logdir)
+        # scalar mirror of the reference's TB logger (main.py:634-658);
+        # no-op when tensorboardX is unavailable
+        from audiolcm_tpu.train.logging import TensorBoardLogger
+
+        self.tb = TensorBoardLogger(os.path.join(logdir, "tb"),
+                                    enabled=tensorboard)
         self.checkpoints = checkpoints
         self.val_fn = val_fn
         self.sample_logger = sample_logger
@@ -108,6 +115,7 @@ class Trainer:
                     last_metrics = metrics
                     if self.global_step % self.log_every == 0:
                         self.metrics.log(self.global_step, metrics)
+                        self.tb.scalars(self.global_step, metrics)
                     if self.sample_logger and self.global_step % self.sample_every == 0:
                         self.sample_logger(self.state, self.global_step)
                     if self.global_step % self.checkpoint_every_steps == 0:
@@ -125,11 +133,13 @@ class Trainer:
                 if self.val_fn is not None:
                     epoch_metrics.update(self.val_fn(self.state, epoch))
                 self.metrics.log(self.global_step, epoch_metrics)
+                self.tb.scalars(self.global_step, epoch_metrics)
                 self._save({**last_metrics, **epoch_metrics})
         except BaseException:
             # SetupCallback.on_exception parity: save 'last' before dying
             self._save()
             raise
         finally:
+            self.tb.close()
             if self.checkpoints is not None:
                 self.checkpoints.wait()
