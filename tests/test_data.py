@@ -163,6 +163,56 @@ def test_melprep_roundtrip(tmp_path):
     assert abs(len(loaded) - 16000 / 44100 * len(wav)) < 10
 
 
+def _tone_tsv(tmp_path, n=6, broken_row=True):
+    from scipy.io import wavfile
+
+    sr = 16000
+    rows = []
+    for i in range(n):
+        freq = 200 + 60 * i
+        wav = (np.sin(2 * np.pi * freq * np.arange(sr // 2) / sr) * 0.4)
+        path = tmp_path / f"tone{i}.wav"
+        wavfile.write(path, sr, (wav * 32767).astype(np.int16))
+        rows.append({"name": f"tone{i}", "dataset": "t",
+                     "ori_cap": f"tone {i}", "audio_path": str(path)})
+    if broken_row:
+        rows.insert(2, {"name": "broken", "dataset": "t", "ori_cap": "x",
+                        "audio_path": str(tmp_path / "missing.wav")})
+    tsv = tmp_path / "in.tsv"
+    pd.DataFrame(rows).to_csv(tsv, sep="\t", index=False)
+    return str(tsv)
+
+
+def test_melprep_workers_match_single_process(tmp_path):
+    """mel_spec.py:66-75 worker sharding: an N-worker run produces the
+    identical npy set and output TSV as the single-process run (broken rows
+    dropped either way)."""
+    tsv = _tone_tsv(tmp_path)
+    single_dir, multi_dir = tmp_path / "m1", tmp_path / "m2"
+    df1 = process_tsv(tsv, out_tsv=str(tmp_path / "o1.tsv"),
+                      mel_dir=str(single_dir))
+    df2 = process_tsv(tsv, out_tsv=str(tmp_path / "o2.tsv"),
+                      mel_dir=str(multi_dir), num_workers=2)
+
+    assert sorted(os.path.basename(p) for p in os.listdir(single_dir)) == \
+           sorted(os.path.basename(p) for p in os.listdir(multi_dir))
+    assert list(df1["name"]) == list(df2["name"])  # same rows, same order
+    np.testing.assert_allclose(df1["duration"], df2["duration"])
+    for p1, p2 in zip(df1["mel_path"], df2["mel_path"]):
+        np.testing.assert_allclose(np.load(p1), np.load(p2), atol=1e-6)
+
+
+def test_melprep_skip_existing_resumes(tmp_path):
+    tsv = _tone_tsv(tmp_path, n=3, broken_row=False)
+    mel_dir = tmp_path / "mels"
+    df1 = process_tsv(tsv, out_tsv=str(tmp_path / "o.tsv"), mel_dir=str(mel_dir))
+    mtimes = {p: os.path.getmtime(p) for p in df1["mel_path"]}
+    df2 = process_tsv(tsv, out_tsv=str(tmp_path / "o.tsv"),
+                      mel_dir=str(mel_dir), skip_existing=True)
+    assert {p: os.path.getmtime(p) for p in df2["mel_path"]} == mtimes
+    np.testing.assert_allclose(df1["duration"], df2["duration"], atol=0.02)
+
+
 def test_build_loader_two_pool_schema(manifest_dir, tmp_path):
     """CLI loader factory honors teacher.yaml's two-pool schema
     (main_spec_dir_path + other_spec_dir_path): train interleaves an
