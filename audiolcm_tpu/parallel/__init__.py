@@ -1,5 +1,6 @@
 from audiolcm_tpu.parallel.mesh import (
     batch_sharding,
+    form_global_batch,
     fsdp_shardings,
     make_mesh,
     replicated,
@@ -10,6 +11,7 @@ from audiolcm_tpu.parallel.mesh import (
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "form_global_batch",
     "replicated",
     "shard_batch",
     "fsdp_shardings",

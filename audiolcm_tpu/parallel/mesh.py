@@ -53,6 +53,26 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def form_global_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Per-process local batch shards -> one globally-sharded array pytree.
+
+    Multi-host DDP semantics (`joinaudiodataset_anylen.py:130-168` rank
+    sharding): each process's loader yields only its slice of the global
+    batch; jax.make_array_from_process_local_data stitches the slices into a
+    single jax.Array sharded over the mesh, so the jitted step sees the
+    global batch and XLA inserts the cross-host collectives. Single-process
+    falls back to plain device_put sharding."""
+    sharding = batch_sharding(mesh, axis)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        batch,
+    )
+
+
 def fsdp_shardings(params, mesh: Mesh, axis: str = "data", min_size: int = 2**15):
     """ZeRO/FSDP-style parameter sharding specs (SURVEY.md §2.12, §7: the
     3-param-tree LCM distillation is the memory pressure point on small
