@@ -52,9 +52,12 @@ UP_EVEN, UP_ODD, DOWN_E, DOWN_O = _act_taps()
 
 
 def _corr(x: jnp.ndarray, taps, start: int, out_len: int) -> jnp.ndarray:
-    # f32 accumulation: per-tap rounding in bf16 was the dominant error of
-    # the fused path (0.28% vs the XLA path's 0.09%, DESIGN.md); callers cast
-    # once at tile writeback instead.
+    # f32 tap accumulation: per-tap rounding in bf16 was the dominant error
+    # of the fused path (0.28% vs the XLA path's 0.09%, DESIGN.md). Only the
+    # WITHIN-op accumulator is f32 — each op still materializes its result in
+    # the stream dtype (as XLA does), keeping the kernel's VMEM working set
+    # and VPU register pressure at bf16 levels; an earlier all-f32 variant
+    # doubled the working set and cost ~30% end-to-end RTF.
     acc = None
     for d, w in enumerate(taps):
         sl = jax.lax.slice_in_dim(x, start + d, start + d + out_len, axis=0)
@@ -87,7 +90,9 @@ def valid_alias_free_snake(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray
     # out coords s = t-6: ao_arr[s+j], ae_arr[s+j+1]
     y = _corr(ao, DOWN_E, 0, out_len)
     y = y + _corr(ae, DOWN_O, 1, out_len)
-    return y
+    # one rounding per activation op (XLA's padded path rounds three times:
+    # after up-FIR, snake, down-FIR) — strictly more accurate, same bandwidth
+    return y.astype(x.dtype)
 
 
 def valid_conv(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray, dilation: int) -> jnp.ndarray:
@@ -105,7 +110,9 @@ def valid_conv(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray, dilation: int)
             preferred_element_type=jnp.float32,
         )
         acc = term if acc is None else acc + term
-    return acc + bias.astype(jnp.float32)
+    # f32 accumulate + bias, then materialize in the stream dtype (same
+    # rounding point as the XLA conv)
+    return (acc + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 def _center(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
@@ -135,7 +142,8 @@ def stage_valid(x: jnp.ndarray, stage_params: List[dict],
     """
     r_total = stage_radius(kernel_sizes, dilations)
     out_len = x.shape[0] - 2 * r_total
-    x = x.astype(jnp.float32)  # residuals/averaging accumulate in f32
+    # residual adds stay in the stream dtype (matching the XLA path's
+    # rounding); only the cross-resblock average accumulates in f32
     acc = None
     for bi, k in enumerate(kernel_sizes):
         h_res = x
@@ -146,7 +154,7 @@ def stage_valid(x: jnp.ndarray, stage_params: List[dict],
             h = valid_alias_free_snake(h, p["a2"], p["b2"], fast)
             h = valid_conv(h, p["w2"], p["c2b"], 1)
             h_res = _center(h_res, h.shape[0]) + h
-        contrib = _center(h_res, out_len)
+        contrib = _center(h_res, out_len).astype(jnp.float32)
         acc = contrib if acc is None else acc + contrib
     return acc / len(kernel_sizes)
 
@@ -212,7 +220,8 @@ def valid_alias_free_snake_cl(x: jnp.ndarray, alpha, beta,
     ae = ue + sin2(ue) * binv[:, None]
     ao = uo + sin2(uo) * binv[:, None]
     y = _corr_cl(ao, DOWN_E, 0, out_len)
-    return y + _corr_cl(ae, DOWN_O, 1, out_len)
+    # single rounding per activation op; see valid_alias_free_snake
+    return (y + _corr_cl(ae, DOWN_O, 1, out_len)).astype(x.dtype)
 
 
 def valid_conv_cl(x: jnp.ndarray, wt: jnp.ndarray, bias: jnp.ndarray, dilation: int) -> jnp.ndarray:
@@ -228,7 +237,8 @@ def valid_conv_cl(x: jnp.ndarray, wt: jnp.ndarray, bias: jnp.ndarray, dilation: 
             preferred_element_type=jnp.float32,
         )
         acc = term if acc is None else acc + term
-    return acc + bias.astype(jnp.float32)[:, None]
+    # f32 accumulate + bias, materialize in the stream dtype (see valid_conv)
+    return (acc + bias.astype(jnp.float32)[:, None]).astype(x.dtype)
 
 
 def _center_cl(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
@@ -243,7 +253,8 @@ def stage_valid_cl(x: jnp.ndarray, stage_params: List[dict],
     (k, C_out, C_in)."""
     r_total = stage_radius(kernel_sizes, dilations)
     out_len = x.shape[1] - 2 * r_total
-    x = x.astype(jnp.float32)  # residuals/averaging accumulate in f32
+    # residual adds in the stream dtype, cross-resblock average in f32
+    # (see stage_valid)
     acc = None
     for bi, k in enumerate(kernel_sizes):
         h_res = x
@@ -254,7 +265,7 @@ def stage_valid_cl(x: jnp.ndarray, stage_params: List[dict],
             h = valid_alias_free_snake_cl(h, p["a2"], p["b2"], fast)
             h = valid_conv_cl(h, p["w2t"], p["c2b"], 1)
             h_res = _center_cl(h_res, h.shape[1]) + h
-        contrib = _center_cl(h_res, out_len)
+        contrib = _center_cl(h_res, out_len).astype(jnp.float32)
         acc = contrib if acc is None else acc + contrib
     return acc / len(kernel_sizes)
 
@@ -265,12 +276,12 @@ def stage_valid_cl(x: jnp.ndarray, stage_params: List[dict],
 
 
 def _compiler_params(n_grid_dims: int):
-    """Raise the per-kernel scoped-VMEM limit: f32 tap/residual accumulation
-    roughly doubles the live working set vs the bf16 kernel (measured 18.55M
-    at C=48/tile=4992 vs the 16M default limit); v5e has 128MiB of physical
-    VMEM and this kernel hand-manages its only DMA, so granting it most of
-    the core's VMEM is safe. Grid dims are fully parallel (independent
-    tiles)."""
+    """Raise the per-kernel scoped-VMEM limit: the in-op f32 accumulators
+    (FIR taps / conv accum) push transient VMEM past the 16M default at the
+    larger C*tile blocks (an all-f32 variant measured 18.55M at
+    C=48/tile=4992); physical VMEM is 128MiB and this kernel hand-manages
+    its only DMA, so granting it headroom is safe. Grid dims are fully
+    parallel (independent tiles)."""
     return pltpu.CompilerParams(
         dimension_semantics=("parallel",) * n_grid_dims,
         vmem_limit_bytes=100 * 1024 * 1024,
