@@ -103,6 +103,15 @@ def load_or_compile(
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, path)
+        # each artifact is >500MB for the production pipeline and any source
+        # edit re-keys it: drop superseded artifacts for the same tag
+        for fn in os.listdir(cache_dir()):
+            if (fn.startswith(f"{tag}-") and fn.endswith(".pkl")
+                    and fn != os.path.basename(path)):
+                try:
+                    os.remove(os.path.join(cache_dir(), fn))
+                except OSError:
+                    pass
     except Exception:
         pass
     return compiled, "compiled"

@@ -34,7 +34,10 @@ def zeros_init(model, *example_args):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
-def main():
+def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
+    """The production serving pipeline exactly as the bench measures it
+    (env knobs: AUDIOLCM_BENCH_DTYPE / AUDIOLCM_FAST_SNAKE /
+    AUDIOLCM_PALLAS_STAGE_MAX). Returns (pipe, clap_ids, t5_ids, knobs)."""
     import os
 
     import jax.numpy as jnp
@@ -51,10 +54,6 @@ def main():
         PipelineParams,
         cast_params,
     )
-
-    batch = 8
-    latent_len = 312  # 10 s: mel 624 frames, wav 159744 samples @16 kHz
-    tok_len = 77
     # serving config: bf16 weights/activations, Pallas flash attention
     dtype_name = os.environ.get("AUDIOLCM_BENCH_DTYPE", "bfloat16")
     compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
@@ -100,6 +99,14 @@ def main():
         modules, params, lcm_config=LCMConfig(num_inference_steps=2),
         compute_dtype=compute_dtype,
     )
+    knobs = (dtype_name, fast_snake, pallas_max)
+    return pipe, clap_ids, t5_ids, knobs
+
+
+def main():
+    batch, latent_len, tok_len = 8, 312, 77  # 10 s: mel 624, wav 159744 @16k
+    pipe, clap_ids, t5_ids, knobs = build_bench_pipeline(batch, latent_len, tok_len)
+    rng = jax.random.PRNGKey(0)
 
     # AOT executable cache: a warm process otherwise pays a full trace +
     # lowering of the generate program (~minutes on small hosts); loading the
@@ -110,8 +117,7 @@ def main():
         "bench_generate",
         pipe._generate_ids_jit,
         (pipe.params, rng, clap_ids, t5_ids, latent_len),
-        extra=("bench", dtype_name, fast_snake, pallas_max, batch, latent_len,
-               tok_len),
+        extra=("bench",) + knobs + (batch, latent_len, tok_len),
     )
     gen = lambda r: gen_exec(pipe.params, r, clap_ids, t5_ids)
 

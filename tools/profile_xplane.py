@@ -1,0 +1,121 @@
+"""Per-op device timings of the production generate program via an xplane
+trace — the only trustworthy per-op timing on the tunneled axon runtime
+(external per-op timing is floored at ~3 ms dispatch; see DESIGN.md).
+
+Runs the exact bench.py graph (same env knobs, warm via the AOT/compile
+caches), captures one traced iteration, then aggregates XLA op durations
+from the device plane, grouped into pipeline stages by op-name patterns.
+
+Usage: python tools/profile_xplane.py [top_n]
+"""
+
+import os
+import re
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
+import jax
+import jax.numpy as jnp
+
+TRACE_DIR = "/tmp/xplane_prof"
+
+# op-name substring -> stage bucket (checked in order; first hit wins).
+# jax names fusions after the jaxpr eqn names inside, which carry the flax
+# module scope (e.g. "vocoder/resblock_4_0/...", "dit/blocks_3/...").
+STAGE_PATTERNS = [
+    ("vocoder_pallas_stage", r"amp_stage|fused_amp"),
+    ("vocoder_ups", r"ups_\d"),
+    ("vocoder_resblock_wide", r"resblock_[012]_"),
+    ("vocoder_resblock_192", r"resblock_3_"),
+    ("vocoder_resblock_96", r"resblock_4_"),
+    ("vocoder_resblock_narrow", r"resblock_[56]_"),
+    ("vocoder_other", r"vocoder|conv_pre|conv_post|act_post|snake"),
+    ("dit_attn", r"attention|flash"),
+    ("dit", r"dit|blocks_\d|geglu|conv_ff"),
+    ("vae", r"vae|decoder|encoder"),
+    ("text", r"bert|t5|clap|embed"),
+]
+
+
+def classify(name: str) -> str:
+    low = name.lower()
+    for stage, pat in STAGE_PATTERNS:
+        if re.search(pat, low):
+            return stage
+    return "other"
+
+
+def capture() -> str:
+    from bench import build_bench_pipeline
+    from audiolcm_tpu.aot import load_or_compile
+
+    pipe, clap_ids, t5_ids, knobs = build_bench_pipeline()
+    rng = jax.random.PRNGKey(0)
+    gen_exec, how = load_or_compile(
+        "bench_generate", pipe._generate_ids_jit,
+        (pipe.params, rng, clap_ids, t5_ids, 312),
+        extra=("bench",) + knobs + (8, 312, 77),
+    )
+    print(f"generate program: {how}", file=sys.stderr)
+    wav, _ = gen_exec(pipe.params, rng, clap_ids, t5_ids)
+    float(jnp.sum(wav))  # warm + completion barrier (axon: no block_until_ready)
+
+    jax.profiler.start_trace(TRACE_DIR)
+    wav, _ = gen_exec(pipe.params, jax.random.PRNGKey(1), clap_ids, t5_ids)
+    float(jnp.sum(wav))
+    jax.profiler.stop_trace()
+    # newest xplane.pb under the trace dir
+    paths = []
+    for root, _dirs, files in os.walk(TRACE_DIR):
+        paths += [os.path.join(root, f) for f in files if f.endswith(".xplane.pb")]
+    if not paths:
+        raise SystemExit("no .xplane.pb produced — device plane not captured?")
+    return max(paths, key=os.path.getmtime)
+
+
+def aggregate(path: str, top_n: int):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+
+    per_op = defaultdict(float)  # name -> total ps
+    counts = defaultdict(int)
+    for plane in xs.planes:
+        pname = plane.name.lower()
+        # device planes only: host threads would double-count dispatch
+        if not ("tpu" in pname or "device" in pname or "/device" in pname):
+            continue
+        if "host" in pname:
+            continue
+        meta = {m.id: m.name for m in plane.event_metadata.values()} if hasattr(
+            plane.event_metadata, "values") else {}
+        if not meta:
+            meta = {k: v.name for k, v in plane.event_metadata.items()}
+        for line in plane.lines:
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                per_op[name] += ev.duration_ps / 1e9  # -> ms
+                counts[name] += 1
+
+    total = sum(per_op.values())
+    stage_ms = defaultdict(float)
+    for name, ms in per_op.items():
+        stage_ms[classify(name)] += ms
+
+    print(f"\n== stage totals (device, one b8 iteration; {total:.1f} ms summed) ==")
+    for stage, ms in sorted(stage_ms.items(), key=lambda kv: -kv[1]):
+        print(f"  {stage:26s} {ms:9.2f} ms  ({100 * ms / max(total, 1e-9):5.1f}%)")
+
+    print(f"\n== top {top_n} ops ==")
+    for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:top_n]:
+        print(f"  {ms:9.2f} ms x{counts[name]:<4d} [{classify(name):24s}] {name[:110]}")
+
+
+if __name__ == "__main__":
+    top = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    aggregate(capture(), top)
