@@ -248,9 +248,18 @@ class _AMPBlockParams(nn.Module):
         return {"sub": subs}
 
 
-def _pick_stage_tile(t: int, max_tile: int = 9984, min_tile: int = 2048) -> int:
+def _pick_stage_tile(t: int, max_tile: int = 9984, min_tile: int = 512) -> int:
     """Largest multiple-of-128 tile <= max_tile that divides t (with at least
-    two tiles); 0 if none — caller falls back to the unfused path."""
+    two tiles); 0 if none — caller falls back to the unfused path.
+
+    min_tile bounds the halo waste, not compile legality: each grid step
+    loads tile + 2*128 halo samples, so tile 512 wastes 33% of the loaded
+    window and smaller tiles quickly drown the fusion win. At the production
+    10 s shapes (T = 312*2^k) the first stage without a large legal tile is
+    C=96/T=39936: divisors of 312 jump from 13 to 24, so under the constant
+    C*tile compile budget (max_tile 2432) the old min_tile=2048 floor left
+    NO legal tile and the stage silently fell back to XLA — tile 1664 fuses
+    it with 13% halo overhead."""
     for mult in range(max_tile // 128, min_tile // 128 - 1, -1):
         tile = mult * 128
         if t % tile == 0 and t >= 2 * tile:

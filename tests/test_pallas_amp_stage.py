@@ -213,3 +213,18 @@ def test_bigvgan_pallas_stage_matches_module_path(rng):
     out = np.asarray(fused.apply(params, mel))
     assert out.shape == golden.shape
     np.testing.assert_allclose(out, golden, atol=2e-5)
+
+
+def test_pick_stage_tile_production_shapes():
+    """Every late stage of the production 10 s shape (T = 312*2^k) must get a
+    legal fused tile under the constant C*tile compile budget — C=96 had none
+    while the floor was 2048 (divisors of 312 jump 13 -> 24) and silently fell
+    back to XLA (round-2 regression)."""
+    from audiolcm_tpu.models.bigvgan import _pick_stage_tile
+
+    for ch, t, expect in ((24, 159744, 9984), (48, 79872, 4992),
+                          (96, 39936, 1664), (192, 19968, 1664)):
+        mt = max(2048, (9984 * 24 // ch) // 128 * 128)
+        tile = _pick_stage_tile(t, max_tile=mt)
+        assert tile == expect, (ch, tile)
+        assert t % tile == 0 and t >= 2 * tile
