@@ -77,6 +77,7 @@ def build_pipeline(
     use_flash: Optional[bool] = None,
     fast_snake: bool = False,
     pallas_stage_max_channels: int = 0,
+    pallas_stage_accum: str = "bf16",
 ) -> AudioLCMPipeline:
     """Reference YAML + torch ckpts -> fully converted TPU pipeline.
 
@@ -106,8 +107,12 @@ def build_pipeline(
 
         vocoder = vocoder.clone(config=_dc.replace(vocoder.config, fast_snake=True))
     if pallas_stage_max_channels:
+        # pallas_stage_accum="f32" lifts the fused kernels' FIR/average
+        # accumulators to f32 (error <= the XLA path; ~30% slower — see
+        # nn/pallas_amp_stage.py numerics note)
         vocoder = vocoder.clone(
-            pallas_stage_max_channels=pallas_stage_max_channels
+            pallas_stage_max_channels=pallas_stage_max_channels,
+            pallas_stage_accum=pallas_stage_accum,
         )
 
     modules = PipelineModules(

@@ -276,6 +276,10 @@ class BigVGAN(nn.Module):
     # 10 s bf16). 0 = off (default: the Mosaic compile of the big unrolled
     # stage adds tens of minutes cold, so it is opt-in for serving).
     pallas_stage_max_channels: int = 0
+    # Fused-stage numerics: "bf16" (fastest, 0.28% mean bf16-vs-f32 error) or
+    # "f32" (FIR/average accumulators in f32, error <= the XLA path's 0.09%,
+    # measured ~30% slower end-to-end — see nn/pallas_amp_stage.py)
+    pallas_stage_accum: str = "bf16"
     pallas_interpret: bool = False  # tests: run the kernel in interpret mode
 
     @nn.compact
@@ -367,4 +371,5 @@ class BigVGAN(nn.Module):
         return fused_amp_stage_cl_batched(
             x, sp, kernel_sizes, dilations, reference_fn=ref_fn, tile=tile,
             interpret=self.pallas_interpret, fast=cfg.fast_snake,
+            accum=self.pallas_stage_accum,
         )

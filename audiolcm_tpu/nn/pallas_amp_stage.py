@@ -51,23 +51,34 @@ def _act_taps():
 UP_EVEN, UP_ODD, DOWN_E, DOWN_O = _act_taps()
 
 
-def _corr(x: jnp.ndarray, taps, start: int, out_len: int) -> jnp.ndarray:
-    # f32 tap accumulation: per-tap rounding in bf16 was the dominant error
-    # of the fused path (0.28% vs the XLA path's 0.09%, DESIGN.md). Only the
-    # WITHIN-op accumulator is f32 — each op still materializes its result in
-    # the stream dtype (as XLA does), keeping the kernel's VMEM working set
-    # and VPU register pressure at bf16 levels; an earlier all-f32 variant
-    # doubled the working set and cost ~30% end-to-end RTF.
+# Fused-stage numerics knob (threaded from BigVGAN.pallas_stage_accum):
+#   "bf16" (default) — accumulate FIR taps and the resblock average in the
+#     stream dtype. Fastest (round-1 kernel, 313.9x end-to-end); bf16-vs-f32
+#     mean error 0.28% of output scale vs the XLA path's 0.09% from per-tap
+#     rounding in the FIRs.
+#   "f32" — accumulate each FIR and the resblock average in f32, rounding to
+#     the stream dtype at the SAME points the XLA path does (after each FIR
+#     conv; snake elementwise stays bf16). Error lands at/below the XLA
+#     path's; measured cost on the tunneled v5e was far above the 5% budget
+#     (earlier f32-interior variants: 312 -> 212x end-to-end), so it is the
+#     accuracy knob, not the default. DESIGN.md "Fused-stage numerics".
+
+
+def _corr(x: jnp.ndarray, taps, start: int, out_len: int,
+          acc_dtype=None) -> jnp.ndarray:
+    """12-tap FIR as shifted adds. acc_dtype=float32 accumulates in f32 and
+    returns f32 (caller rounds); None accumulates in the stream dtype."""
     acc = None
     for d, w in enumerate(taps):
         sl = jax.lax.slice_in_dim(x, start + d, start + d + out_len, axis=0)
-        sl = sl.astype(jnp.float32)
+        if acc_dtype is not None:
+            sl = sl.astype(acc_dtype)
         acc = w * sl if acc is None else acc + w * sl
     return acc
 
 
 def valid_alias_free_snake(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
-                           fast: bool = False) -> jnp.ndarray:
+                           fast: bool = False, accum: str = "bf16") -> jnp.ndarray:
     """(L, C) -> (L - 2*R_ACT, C); out[t] == padded_op(x)[t + R_ACT] for
     interior windows. alpha/beta already exponentiated (linear scale)."""
     from audiolcm_tpu.nn.snake import fast_cos
@@ -75,24 +86,26 @@ def valid_alias_free_snake(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray
     cos = fast_cos if fast else jnp.cos
     l = x.shape[0]
     out_len = l - 2 * R_ACT
-    alpha = alpha.astype(jnp.float32)
-    beta = beta.astype(jnp.float32)
+    ad = jnp.float32 if accum == "f32" else None
     # up phases for j in [3, l-3): ue[j] = sum_d x[j-3+d]*UP_EVEN[d],
     #                              uo[j] = sum_d x[j-2+d]*UP_ODD[d]
     n_u = l - 6
-    ue = _corr(x, UP_EVEN, 0, n_u)
-    uo = _corr(x, UP_ODD, 1, n_u)
+    ue = _corr(x, UP_EVEN, 0, n_u, ad)
+    uo = _corr(x, UP_ODD, 1, n_u, ad)
+    if ad is not None:
+        # round after the up-FIR — the same rounding point as the XLA
+        # depthwise up-conv; the snake elementwise stays in the stream dtype
+        ue = ue.astype(x.dtype)
+        uo = uo.astype(x.dtype)
     sin2 = lambda h: 0.5 * (1.0 - cos(2.0 * alpha * h))
     ae = ue + sin2(ue) / (beta + 1e-9)
     ao = uo + sin2(uo) / (beta + 1e-9)
     # y[t] = sum_j DOWN_E[j]*ao[t+j-3] + DOWN_O[j]*ae[t+j-2], t in [6, l-6)
     # array coords (arrays start at j=3): ao_arr[t-6+j], ae_arr[t-5+j]... in
     # out coords s = t-6: ao_arr[s+j], ae_arr[s+j+1]
-    y = _corr(ao, DOWN_E, 0, out_len)
-    y = y + _corr(ae, DOWN_O, 1, out_len)
-    # one rounding per activation op (XLA's padded path rounds three times:
-    # after up-FIR, snake, down-FIR) — strictly more accurate, same bandwidth
-    return y.astype(x.dtype)
+    y = _corr(ao, DOWN_E, 0, out_len, ad)
+    y = y + _corr(ae, DOWN_O, 1, out_len, ad)
+    return y.astype(x.dtype) if ad is not None else y
 
 
 def valid_conv(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray, dilation: int) -> jnp.ndarray:
@@ -103,16 +116,13 @@ def valid_conv(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray, dilation: int)
     acc = None
     for j in range(k):
         sl = jax.lax.slice_in_dim(x, j * dilation, j * dilation + out_len, axis=0)
-        # multiplies in the weight dtype (bf16 rides the MXU fast path, same
-        # as the XLA conv), accumulation and bias in f32
+        # bf16 multiplies on the MXU, f32 accumulation (both accum modes:
+        # the MXU accumulator is free)
         term = jax.lax.dot_general(
-            sl.astype(w.dtype), w[j], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            sl, w[j], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         acc = term if acc is None else acc + term
-    # f32 accumulate + bias, then materialize in the stream dtype (same
-    # rounding point as the XLA conv)
-    return (acc + bias.astype(jnp.float32)).astype(x.dtype)
+    return (acc + bias).astype(x.dtype)
 
 
 def _center(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
@@ -133,7 +143,7 @@ def stage_radius(kernel_sizes: Sequence[int], dilations: Sequence[int]) -> int:
 
 def stage_valid(x: jnp.ndarray, stage_params: List[dict],
                 kernel_sizes: Sequence[int], dilations: Sequence[int],
-                fast: bool = False) -> jnp.ndarray:
+                fast: bool = False, accum: str = "bf16") -> jnp.ndarray:
     """(L, C) -> (L - 2*R, C): the full stage with valid semantics.
 
     stage_params[b] = {"sub": [ {a1, b1, w1, c1b, a2, b2, w2, c2b} x len(dilations) ]}
@@ -143,18 +153,20 @@ def stage_valid(x: jnp.ndarray, stage_params: List[dict],
     r_total = stage_radius(kernel_sizes, dilations)
     out_len = x.shape[0] - 2 * r_total
     # residual adds stay in the stream dtype (matching the XLA path's
-    # rounding); only the cross-resblock average accumulates in f32
+    # rounding); accum="f32" also lifts the cross-resblock average to f32
     acc = None
     for bi, k in enumerate(kernel_sizes):
         h_res = x
         for si, d in enumerate(dilations):
             p = stage_params[bi]["sub"][si]
-            h = valid_alias_free_snake(h_res, p["a1"], p["b1"], fast)
+            h = valid_alias_free_snake(h_res, p["a1"], p["b1"], fast, accum)
             h = valid_conv(h, p["w1"], p["c1b"], d)
-            h = valid_alias_free_snake(h, p["a2"], p["b2"], fast)
+            h = valid_alias_free_snake(h, p["a2"], p["b2"], fast, accum)
             h = valid_conv(h, p["w2"], p["c2b"], 1)
             h_res = _center(h_res, h.shape[0]) + h
-        contrib = _center(h_res, out_len).astype(jnp.float32)
+        contrib = _center(h_res, out_len)
+        if accum == "f32":
+            contrib = contrib.astype(jnp.float32)
         acc = contrib if acc is None else acc + contrib
     return acc / len(kernel_sizes)
 
@@ -193,35 +205,43 @@ def extract_stage_params(amp_params: List[dict], num_sub: int, logscale: bool = 
 # ---------------------------------------------------------------------------
 
 
-def _corr_cl(x: jnp.ndarray, taps, start: int, out_len: int) -> jnp.ndarray:
-    # f32 tap accumulation (see _corr)
+def _corr_cl(x: jnp.ndarray, taps, start: int, out_len: int,
+             acc_dtype=None) -> jnp.ndarray:
+    # see _corr: acc_dtype=float32 -> f32 accumulation, returns f32
     acc = None
     for d, w in enumerate(taps):
         sl = jax.lax.slice_in_dim(x, start + d, start + d + out_len, axis=1)
-        sl = sl.astype(jnp.float32)
+        if acc_dtype is not None:
+            sl = sl.astype(acc_dtype)
         acc = w * sl if acc is None else acc + w * sl
     return acc
 
 
 def valid_alias_free_snake_cl(x: jnp.ndarray, alpha, beta,
-                              fast: bool = False) -> jnp.ndarray:
+                              fast: bool = False,
+                              accum: str = "bf16") -> jnp.ndarray:
     """(C, L) -> (C, L - 2*R_ACT); alpha/beta (C,)."""
     from audiolcm_tpu.nn.snake import fast_cos
 
     cos = fast_cos if fast else jnp.cos
     l = x.shape[1]
     out_len = l - 2 * R_ACT
+    ad = jnp.float32 if accum == "f32" else None
     n_u = l - 6
-    ue = _corr_cl(x, UP_EVEN, 0, n_u)
-    uo = _corr_cl(x, UP_ODD, 1, n_u)
-    a = alpha.astype(jnp.float32)[:, None]
-    binv = 1.0 / (beta.astype(jnp.float32) + 1e-9)
+    ue = _corr_cl(x, UP_EVEN, 0, n_u, ad)
+    uo = _corr_cl(x, UP_ODD, 1, n_u, ad)
+    if ad is not None:
+        # round after the up-FIR (XLA's rounding point); snake stays bf16
+        ue = ue.astype(x.dtype)
+        uo = uo.astype(x.dtype)
+    a = alpha[:, None]
+    binv = 1.0 / (beta + 1e-9)
     sin2 = lambda h: 0.5 * (1.0 - cos(2.0 * a * h))
     ae = ue + sin2(ue) * binv[:, None]
     ao = uo + sin2(uo) * binv[:, None]
-    y = _corr_cl(ao, DOWN_E, 0, out_len)
-    # single rounding per activation op; see valid_alias_free_snake
-    return (y + _corr_cl(ae, DOWN_O, 1, out_len)).astype(x.dtype)
+    y = _corr_cl(ao, DOWN_E, 0, out_len, ad)
+    y = y + _corr_cl(ae, DOWN_O, 1, out_len, ad)
+    return y.astype(x.dtype) if ad is not None else y
 
 
 def valid_conv_cl(x: jnp.ndarray, wt: jnp.ndarray, bias: jnp.ndarray, dilation: int) -> jnp.ndarray:
@@ -233,12 +253,10 @@ def valid_conv_cl(x: jnp.ndarray, wt: jnp.ndarray, bias: jnp.ndarray, dilation: 
         sl = jax.lax.slice_in_dim(x, j * dilation, j * dilation + out_len, axis=1)
         # bf16 multiplies on the MXU, f32 accumulation (see valid_conv)
         term = jax.lax.dot_general(
-            wt[j], sl.astype(wt.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            wt[j], sl, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         acc = term if acc is None else acc + term
-    # f32 accumulate + bias, materialize in the stream dtype (see valid_conv)
-    return (acc + bias.astype(jnp.float32)[:, None]).astype(x.dtype)
+    return (acc + bias[:, None]).astype(x.dtype)
 
 
 def _center_cl(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
@@ -248,24 +266,26 @@ def _center_cl(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
 
 def stage_valid_cl(x: jnp.ndarray, stage_params: List[dict],
                    kernel_sizes: Sequence[int], dilations: Sequence[int],
-                   fast: bool = False) -> jnp.ndarray:
+                   fast: bool = False, accum: str = "bf16") -> jnp.ndarray:
     """(C, L) layout stage_valid; stage_params weights under 'w1t'/'w2t' are
     (k, C_out, C_in)."""
     r_total = stage_radius(kernel_sizes, dilations)
     out_len = x.shape[1] - 2 * r_total
-    # residual adds in the stream dtype, cross-resblock average in f32
-    # (see stage_valid)
+    # residual adds in the stream dtype; accum="f32" lifts the cross-resblock
+    # average to f32 (see stage_valid)
     acc = None
     for bi, k in enumerate(kernel_sizes):
         h_res = x
         for si, d in enumerate(dilations):
             p = stage_params[bi]["sub"][si]
-            h = valid_alias_free_snake_cl(h_res, p["a1"], p["b1"], fast)
+            h = valid_alias_free_snake_cl(h_res, p["a1"], p["b1"], fast, accum)
             h = valid_conv_cl(h, p["w1t"], p["c1b"], d)
-            h = valid_alias_free_snake_cl(h, p["a2"], p["b2"], fast)
+            h = valid_alias_free_snake_cl(h, p["a2"], p["b2"], fast, accum)
             h = valid_conv_cl(h, p["w2t"], p["c2b"], 1)
             h_res = _center_cl(h_res, h.shape[1]) + h
-        contrib = _center_cl(h_res, out_len).astype(jnp.float32)
+        contrib = _center_cl(h_res, out_len)
+        if accum == "f32":
+            contrib = contrib.astype(jnp.float32)
         acc = contrib if acc is None else acc + contrib
     return acc / len(kernel_sizes)
 
@@ -275,13 +295,17 @@ def stage_valid_cl(x: jnp.ndarray, stage_params: List[dict],
 # ---------------------------------------------------------------------------
 
 
-def _compiler_params(n_grid_dims: int):
-    """Raise the per-kernel scoped-VMEM limit: the in-op f32 accumulators
-    (FIR taps / conv accum) push transient VMEM past the 16M default at the
-    larger C*tile blocks (an all-f32 variant measured 18.55M at
-    C=48/tile=4992); physical VMEM is 128MiB and this kernel hand-manages
-    its only DMA, so granting it headroom is safe. Grid dims are fully
-    parallel (independent tiles)."""
+def _compiler_params(n_grid_dims: int, accum: str):
+    """accum="f32" only: raise the per-kernel scoped-VMEM limit — the in-op
+    f32 accumulators (FIR taps / resblock average) push transient VMEM past
+    the 16M default at the larger C*tile blocks (an all-f32 variant measured
+    18.55M at C=48/tile=4992); physical VMEM is 128MiB and this kernel
+    hand-manages its only DMA, so granting it headroom is safe. Grid dims
+    are fully parallel (independent tiles). The bf16 path compiles with
+    Mosaic defaults (the round-1 configuration the 313.9x number was
+    measured under)."""
+    if accum != "f32":
+        return None
     return pltpu.CompilerParams(
         dimension_semantics=("parallel",) * n_grid_dims,
         vmem_limit_bytes=100 * 1024 * 1024,
@@ -309,6 +333,7 @@ def fused_amp_stage(
     tile: int = 16384,
     interpret: bool = False,
     fast: bool = False,
+    accum: str = "bf16",  # fused-stage numerics knob (see module top)
 ) -> jnp.ndarray:
     """Tile `stage_valid` over T with halo DMA; stitch boundary strips from
     `reference_fn` (the unfused module) so sequence-edge padding semantics
@@ -358,7 +383,7 @@ def fused_amp_stage(
                     subs.append({"a1": a1, "b1": b1, "c1b": c1b, "a2": a2,
                                  "b2": b2, "c2b": c2b, "w1": w1, "w2": w2})
                 params.append({"sub": subs})
-            y = stage_valid(xblk, params, kernel_sizes, dilations, fast)
+            y = stage_valid(xblk, params, kernel_sizes, dilations, fast, accum)
             out_ref[:, :] = _center(y, tile).astype(out_ref.dtype)
 
         pl.run_scoped(
@@ -377,7 +402,7 @@ def fused_amp_stage(
             out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((t, c), x.dtype),
-            compiler_params=_compiler_params(1),
+            compiler_params=_compiler_params(1, accum),
             interpret=interpret,
         )(xp, *flat)
 
@@ -403,6 +428,7 @@ def fused_amp_stage_cl(
     tile: int = 16384,
     interpret: bool = False,
     fast: bool = False,
+    accum: str = "bf16",  # fused-stage numerics knob (see module top)
 ) -> jnp.ndarray:
     """Transposed-layout fused stage: compute happens on (C, L) tiles so
     time rides the full 128-lane axis (C=24 minormost wastes >3/4 lanes).
@@ -450,7 +476,7 @@ def fused_amp_stage_cl(
                     subs.append({"a1": a1, "b1": b1, "c1b": c1b, "a2": a2,
                                  "b2": b2, "c2b": c2b, "w1t": w1t, "w2t": w2t})
                 params.append({"sub": subs})
-            y = stage_valid_cl(xblk, params, kernel_sizes, dilations, fast)
+            y = stage_valid_cl(xblk, params, kernel_sizes, dilations, fast, accum)
             out_ref[:, :] = _center_cl(y, tile).astype(out_ref.dtype)
 
         pl.run_scoped(
@@ -469,7 +495,7 @@ def fused_amp_stage_cl(
             out_specs=pl.BlockSpec((c, tile), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((c, t), x.dtype),
-            compiler_params=_compiler_params(1),
+            compiler_params=_compiler_params(1, accum),
             interpret=interpret,
         )(xp, *flat)
 
@@ -496,6 +522,7 @@ def fused_amp_stage_cl_batched(
     tile: int = 16384,
     interpret: bool = False,
     fast: bool = False,
+    accum: str = "bf16",  # fused-stage numerics knob (see module top)
 ) -> jnp.ndarray:
     """fused_amp_stage_cl with a single 2D-grid pallas_call over
     (batch, tiles) instead of a per-batch Python loop of kernels — one
@@ -543,7 +570,7 @@ def fused_amp_stage_cl_batched(
                     subs.append({"a1": a1, "b1": b1, "c1b": c1b, "a2": a2,
                                  "b2": b2, "c2b": c2b, "w1t": w1t, "w2t": w2t})
                 params.append({"sub": subs})
-            y = stage_valid_cl(xblk, params, kernel_sizes, dilations, fast)
+            y = stage_valid_cl(xblk, params, kernel_sizes, dilations, fast, accum)
             out_ref[0, :, :] = _center_cl(y, tile).astype(out_ref.dtype)
 
         pl.run_scoped(
@@ -562,7 +589,7 @@ def fused_amp_stage_cl_batched(
         out_specs=pl.BlockSpec((1, c, tile), lambda ib, it: (ib, 0, it),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, t), x.dtype),
-        compiler_params=_compiler_params(2),
+        compiler_params=_compiler_params(2, accum),
         interpret=interpret,
     )(xp, *flat)
     out = jnp.transpose(out, (0, 2, 1))

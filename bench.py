@@ -111,15 +111,21 @@ def main():
     # AOT executable cache: a warm process otherwise pays a full trace +
     # lowering of the generate program (~minutes on small hosts); loading the
     # persisted compiled executable skips straight to execution.
-    from audiolcm_tpu.aot import load_or_compile
+    # AUDIOLCM_NO_AOT=1 falls back to the plain jit dispatch path (A/B knob:
+    # the Compiled call path and jit's C++ fast path are not identical).
+    if os.environ.get("AUDIOLCM_NO_AOT", "0") == "1":
+        gen = lambda r: pipe._generate_ids_jit(
+            pipe.params, r, clap_ids, t5_ids, latent_len)
+    else:
+        from audiolcm_tpu.aot import load_or_compile
 
-    gen_exec, how = load_or_compile(
-        "bench_generate",
-        pipe._generate_ids_jit,
-        (pipe.params, rng, clap_ids, t5_ids, latent_len),
-        extra=("bench",) + knobs + (batch, latent_len, tok_len),
-    )
-    gen = lambda r: gen_exec(pipe.params, r, clap_ids, t5_ids)
+        gen_exec, how = load_or_compile(
+            "bench_generate",
+            pipe._generate_ids_jit,
+            (pipe.params, rng, clap_ids, t5_ids, latent_len),
+            extra=("bench",) + knobs + (batch, latent_len, tok_len),
+        )
+        gen = lambda r: gen_exec(pipe.params, r, clap_ids, t5_ids)
 
     def force(x):
         # NOTE: jax.block_until_ready does NOT await completion on the

@@ -131,9 +131,15 @@ def test_fused_amp_stage_cl_batched_matches_reference(rng):
     np.testing.assert_allclose(out, golden, atol=5e-4)
 
 
-def test_fused_stage_bf16_error_not_worse_than_xla_path(rng):
-    """f32 tap/residual accumulation (VERDICT round-1 #3): in bf16 the fused
-    path must be at least as accurate as the per-op-rounding XLA path."""
+@pytest.mark.parametrize("accum", ["bf16", "f32"])
+def test_fused_stage_bf16_error_not_worse_than_xla_path(rng, accum):
+    """VERDICT round-1 #3: in bf16 the fused path must be at least as
+    accurate as the per-op-rounding XLA path. accum="f32" (FIR/average
+    accumulators in f32, XLA-matching rounding points) guarantees this at
+    every scale; the default "bf16" path matches at this test scale and
+    carries 0.28%-of-scale mean error (vs XLA's 0.09%) at the production
+    T=160k shapes — the f32 knob exists for callers that need parity there
+    (it measured ~30% slower end-to-end, DESIGN.md "Fused-stage numerics")."""
     from audiolcm_tpu.nn.pallas_amp_stage import fused_amp_stage_cl_batched
 
     kernel_sizes, dilations = (3, 7, 11), (1, 3, 5)
@@ -161,7 +167,7 @@ def test_fused_stage_bf16_error_not_worse_than_xla_path(rng):
     ).mean() / scale
     fused = fused_amp_stage_cl_batched(
         x_b, sp_b, kernel_sizes, dilations, reference_fn=reference_fn_b,
-        tile=512, interpret=True,
+        tile=512, interpret=True, accum=accum,
     )
     fused_err = np.abs(np.asarray(fused).astype(np.float64) - golden).mean() / scale
     assert fused.dtype == bf16
