@@ -34,6 +34,25 @@ def zeros_init(model, *example_args):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
+def zeros_params_program(shape_trees: dict, compute_dtype):
+    """All synthetic params as host numpy zeros + ONE device_put.
+
+    The tunneled axon runtime mirrors every program OUTPUT back to the host
+    at ~4.4 MB/s, so creating ~1 GB of params with device-side zeros (either
+    leaf-by-leaf jnp.zeros or one jitted zeros program) costs 6-8 min of a
+    warm bench. Plain uploads run ~50 MB/s (10x faster) and host-side
+    np.zeros is calloc — measured with tools/probe_tunnel_cost.py:
+    512 MB zeros output 117 s, 600 tiny outputs 2 s, 64 MB device_put 1.3 s."""
+    import numpy as np
+
+    def z(s):
+        dt = (compute_dtype if jnp.issubdtype(s.dtype, jnp.floating)
+              else s.dtype)
+        return np.zeros(s.shape, dt)
+
+    return jax.device_put(jax.tree.map(z, shape_trees))
+
+
 def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
     """The production serving pipeline exactly as the bench measures it
     (env knobs: AUDIOLCM_BENCH_DTYPE / AUDIOLCM_FAST_SNAKE /
@@ -52,7 +71,6 @@ def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
         AudioLCMPipeline,
         PipelineModules,
         PipelineParams,
-        cast_params,
     )
     # serving config: bf16 weights/activations, Pallas flash attention
     dtype_name = os.environ.get("AUDIOLCM_BENCH_DTYPE", "bfloat16")
@@ -86,15 +104,20 @@ def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
         jnp.zeros((1, 256)),
     )
     rng = jax.random.PRNGKey(0)
-    params = PipelineParams(
-        dit=zeros_init(modules.dit, *dit_args)["params"],
-        vae=zeros_init(modules.vae, jnp.zeros((1, 16, 80)), rng)["params"],
-        vocoder=zeros_init(modules.vocoder, jnp.zeros((1, 16, 80)))["params"],
-        clap_text=zeros_init(modules.clap_text, clap_ids[:1])["params"],
-        t5=zeros_init(modules.t5, t5_ids[:1])["params"],
-        scale_factor=1.0,
-    )
-    params = cast_params(params, compute_dtype)
+    shapes = {
+        "dit": jax.eval_shape(
+            lambda: modules.dit.init(rng, *dit_args))["params"],
+        "vae": jax.eval_shape(
+            lambda: modules.vae.init(rng, jnp.zeros((1, 16, 80)), rng))["params"],
+        "vocoder": jax.eval_shape(
+            lambda: modules.vocoder.init(rng, jnp.zeros((1, 16, 80))))["params"],
+        "clap_text": jax.eval_shape(
+            lambda: modules.clap_text.init(rng, clap_ids[:1]))["params"],
+        "t5": jax.eval_shape(
+            lambda: modules.t5.init(rng, t5_ids[:1]))["params"],
+    }
+    trees = zeros_params_program(shapes, compute_dtype)
+    params = PipelineParams(scale_factor=1.0, **trees)
     pipe = AudioLCMPipeline(
         modules, params, lcm_config=LCMConfig(num_inference_steps=2),
         compute_dtype=compute_dtype,

@@ -57,10 +57,14 @@ def main():
 
     fast_snake = os.environ.get("AUDIOLCM_FAST_SNAKE", "1") == "1"
     cf_max = int(os.environ.get("AUDIOLCM_CF_MAX", "48"))
+    # match bench.py's production serving config: fuse stages with C <= this
+    # as single Pallas kernels (0 = off)
+    pallas_max = int(os.environ.get("AUDIOLCM_PALLAS_STAGE_MAX", "48"))
     modules = PipelineModules(
         dit=ConcatDiT2MLP(use_flash=use_flash),
         vae=AutoencoderKL1D(VAEConfig()),
-        vocoder=BigVGAN(BigVGANConfig(fast_snake=fast_snake), cf_max_channels=cf_max),
+        vocoder=BigVGAN(BigVGANConfig(fast_snake=fast_snake), cf_max_channels=cf_max,
+                        pallas_stage_max_channels=pallas_max),
         clap_text=ClapTextEncoder(BertConfig()),
         t5=T5Encoder(T5Config()),
     )
