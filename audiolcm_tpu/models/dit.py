@@ -166,6 +166,13 @@ class ConcatDiT2MLP(nn.Module):
             kernel_init=_xavier,
             name="proj_in",
         )(x)
+        # the timestep token's sinusoid math is f32; concatenating it as-is
+        # would PROMOTE the whole sequence (and every matmul after it) to f32
+        # — measured 8x MXU slowdown on the FF convs in the bf16 serving
+        # config. Cast the two small embedder outputs to the latent stream's
+        # dtype instead (f32 training is a no-op).
+        t_tok = t_tok.astype(h.dtype)
+        cond = cond.astype(h.dtype)
         h = jnp.concatenate([t_tok, cond, h], axis=1)
 
         seq_len = h.shape[1]
@@ -215,7 +222,9 @@ class ConcatDiT(nn.Module):
             kernel_init=_xavier,
             name="proj_in",
         )(x)
-        h = jnp.concatenate([t_tok, cond, h], axis=1)
+        # cast the f32 timestep token to the stream dtype before concat (see
+        # ConcatDiT2MLP: unchecked, it promotes the whole backbone to f32)
+        h = jnp.concatenate([t_tok.astype(h.dtype), cond.astype(h.dtype), h], axis=1)
         seq_len = h.shape[1]
         pos = self.param(
             "pos_emb", nn.initializers.xavier_normal(), (self.max_len, self.hidden_size)

@@ -187,7 +187,10 @@ class TxtFlagLargeDiT(nn.Module):
         cap_pool = jnp.mean(context, axis=1)
         cap = nn.LayerNorm(epsilon=1e-5, name="cap_norm")(cap_pool)
         cap = nn.Dense(self.hidden_size, kernel_init=_xavier, name="cap_proj")(cap)
-        adaln = t_emb + cap
+        # keep the f32 sinusoid out of the modulation path: an f32 adaln
+        # promotes every gated residual (and so the whole backbone) to f32
+        # in the bf16 serving config (see dit.py)
+        adaln = (t_emb + cap).astype(h.dtype)
 
         cos_np, sin_np = precompute_rotary(self.hidden_size // self.num_heads, self.max_len)
         cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)

@@ -119,7 +119,9 @@ class ConcatOrderDiT(nn.Module):
         extra_len = c.shape[1] + 1
         h = nn.Conv(self.hidden_size, kernel_size=(5,), padding=[(2, 2)],
                     kernel_init=_xavier, name="proj_in")(x)
-        h = jnp.concatenate([t_tok, c, h], axis=1)
+        # cast the f32 timestep token to the stream dtype (see dit.py:
+        # unchecked it promotes the whole backbone to f32)
+        h = jnp.concatenate([t_tok.astype(h.dtype), c.astype(h.dtype), h], axis=1)
         pos = self.param("pos_emb", nn.initializers.xavier_normal(),
                          (self.max_len, self.hidden_size))
         h = h + pos[None, : h.shape[1], :]
@@ -162,7 +164,9 @@ class ConcatOrderDiT2(nn.Module):
         extra_len = c.shape[1] + 1
         h = nn.Conv(self.hidden_size, kernel_size=(5,), padding=[(2, 2)],
                     kernel_init=_xavier, name="proj_in")(x)
-        h = jnp.concatenate([t_tok, c, h], axis=1)
+        # cast the f32 timestep token to the stream dtype (see dit.py:
+        # unchecked it promotes the whole backbone to f32)
+        h = jnp.concatenate([t_tok.astype(h.dtype), c.astype(h.dtype), h], axis=1)
         pos = self.param("pos_emb", nn.initializers.xavier_normal(),
                          (self.max_len, self.hidden_size))
         h = h + pos[None, : h.shape[1], :]
