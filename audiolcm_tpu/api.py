@@ -78,6 +78,7 @@ def build_pipeline(
     fast_snake: bool = False,
     pallas_stage_max_channels: int = 0,
     pallas_stage_accum: str = "bf16",
+    pallas_stage_conv: str = "tap",
 ) -> AudioLCMPipeline:
     """Reference YAML + torch ckpts -> fully converted TPU pipeline.
 
@@ -113,6 +114,7 @@ def build_pipeline(
         vocoder = vocoder.clone(
             pallas_stage_max_channels=pallas_stage_max_channels,
             pallas_stage_accum=pallas_stage_accum,
+            pallas_stage_conv=pallas_stage_conv,
         )
 
     modules = PipelineModules(

@@ -280,6 +280,10 @@ class BigVGAN(nn.Module):
     # "f32" (FIR/average accumulators in f32, error <= the XLA path's 0.09%,
     # measured ~30% slower end-to-end — see nn/pallas_amp_stage.py)
     pallas_stage_accum: str = "bf16"
+    # Fused-stage conv formulation: "tap" (round-1 per-tap dots) or "mstack"
+    # (one M-stacked dot + shifted adds; ~5x better MXU utilization at the
+    # narrow widths — see nn/pallas_amp_stage.py:valid_conv_cl_mstack)
+    pallas_stage_conv: str = "tap"
     pallas_interpret: bool = False  # tests: run the kernel in interpret mode
 
     @nn.compact
@@ -371,5 +375,5 @@ class BigVGAN(nn.Module):
         return fused_amp_stage_cl_batched(
             x, sp, kernel_sizes, dilations, reference_fn=ref_fn, tile=tile,
             interpret=self.pallas_interpret, fast=cfg.fast_snake,
-            accum=self.pallas_stage_accum,
+            accum=self.pallas_stage_accum, conv=self.pallas_stage_conv,
         )

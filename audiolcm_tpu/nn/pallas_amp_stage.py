@@ -244,8 +244,9 @@ def valid_alias_free_snake_cl(x: jnp.ndarray, alpha, beta,
     return y.astype(x.dtype) if ad is not None else y
 
 
-def valid_conv_cl(x: jnp.ndarray, wt: jnp.ndarray, bias: jnp.ndarray, dilation: int) -> jnp.ndarray:
-    """(C_in, L) x wt (k, C_out, C_in) -> (C_out, L - (k-1)*d)."""
+def valid_conv_cl_tap(x: jnp.ndarray, wt: jnp.ndarray, bias: jnp.ndarray, dilation: int) -> jnp.ndarray:
+    """(C_in, L) x wt (k, C_out, C_in) -> (C_out, L - (k-1)*d): k per-tap
+    dots, f32 accumulation. The proven-compiling round-1 formulation."""
     k = wt.shape[0]
     out_len = x.shape[1] - (k - 1) * dilation
     acc = None
@@ -259,6 +260,50 @@ def valid_conv_cl(x: jnp.ndarray, wt: jnp.ndarray, bias: jnp.ndarray, dilation: 
     return (acc + bias[:, None]).astype(x.dtype)
 
 
+def valid_conv_cl_mstack(x: jnp.ndarray, wm: jnp.ndarray, bias: jnp.ndarray, dilation: int) -> jnp.ndarray:
+    """(C_in, L) x wm (k*C_out, C_in) -> (C_out, L - (k-1)*d).
+
+    wm is the tap-stacked-along-M weight: wm[j*C_out + co, ci] = w[j, ci, co]
+    (see stack_conv_weight_m). ONE dot computes every tap's partial output
+    (k*C_out, L); the conv result is then k shifted adds over sub-row blocks
+    — the same slice+add pattern the FIR `_corr_cl` compiles today.
+
+    Why: per-tap dots at the narrow stages run at K=M=C, filling
+    (C/128)^2 = 3.5-14% of the MXU; xplane showed the convs dominating the
+    fused C=24 kernel (~27 of 41 ms). M-stacking keeps K=C (still the
+    under-filled axis) but amortizes ALL taps into one pipelined dot:
+    utilization rises to C/128 (18.75% at C=24, 37.5% at C=48), ~5x fewer
+    MXU stalls, with NO relayout: a K-stacked formulation (concat of
+    shifted slices) needs offset-normalizing stores that Mosaic either
+    rejects (`tpu.concatenate` offset mismatch) or compiles for >2 h.
+    Numerics: per-tap partials accumulate in f32 exactly as before (the dot
+    emits f32; the adds stay f32), one bf16 materialization per conv."""
+    cin = x.shape[0]
+    cout = cin  # AMP resblock convs are channel-preserving
+    k = wm.shape[0] // cout
+    out_len = x.shape[1] - (k - 1) * dilation
+    # (k*C_out, L) f32: all taps' partial outputs in one MXU pass
+    out_all = jax.lax.dot_general(
+        wm, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc = None
+    for j in range(k):
+        sl = jax.lax.slice(
+            out_all,
+            (j * cout, j * dilation),
+            (j * cout + cout, j * dilation + out_len),
+        )
+        acc = sl if acc is None else acc + sl
+    return (acc + bias[:, None]).astype(x.dtype)
+
+
+def stack_conv_weight_m(w: jnp.ndarray) -> jnp.ndarray:
+    """(k, C_in, C_out) module-layout conv weight -> (k*C_out, C_in) stacked
+    along M for valid_conv_cl (tap-major rows to match its sub-row blocks)."""
+    k, cin, cout = w.shape
+    return jnp.transpose(w, (0, 2, 1)).reshape(k * cout, cin)
+
+
 def _center_cl(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
     off = (x.shape[1] - out_len) // 2
     return jax.lax.slice_in_dim(x, off, off + out_len, axis=1)
@@ -266,9 +311,12 @@ def _center_cl(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
 
 def stage_valid_cl(x: jnp.ndarray, stage_params: List[dict],
                    kernel_sizes: Sequence[int], dilations: Sequence[int],
-                   fast: bool = False, accum: str = "bf16") -> jnp.ndarray:
+                   fast: bool = False, accum: str = "bf16",
+                   conv: str = "tap") -> jnp.ndarray:
     """(C, L) layout stage_valid; stage_params weights under 'w1t'/'w2t' are
-    (k, C_out, C_in)."""
+    (k, C_out, C_in) for conv="tap" or M-stacked (k*C_out, C_in) for
+    conv="mstack" (see stack_conv_weight_m / valid_conv_cl_mstack)."""
+    conv_fn = valid_conv_cl_mstack if conv == "mstack" else valid_conv_cl_tap
     r_total = stage_radius(kernel_sizes, dilations)
     out_len = x.shape[1] - 2 * r_total
     # residual adds in the stream dtype; accum="f32" lifts the cross-resblock
@@ -279,9 +327,9 @@ def stage_valid_cl(x: jnp.ndarray, stage_params: List[dict],
         for si, d in enumerate(dilations):
             p = stage_params[bi]["sub"][si]
             h = valid_alias_free_snake_cl(h_res, p["a1"], p["b1"], fast, accum)
-            h = valid_conv_cl(h, p["w1t"], p["c1b"], d)
+            h = conv_fn(h, p["w1t"], p["c1b"], d)
             h = valid_alias_free_snake_cl(h, p["a2"], p["b2"], fast, accum)
-            h = valid_conv_cl(h, p["w2t"], p["c2b"], 1)
+            h = conv_fn(h, p["w2t"], p["c2b"], 1)
             h_res = _center_cl(h_res, h.shape[1]) + h
         contrib = _center_cl(h_res, out_len)
         if accum == "f32":
@@ -295,7 +343,7 @@ def stage_valid_cl(x: jnp.ndarray, stage_params: List[dict],
 # ---------------------------------------------------------------------------
 
 
-def _compiler_params(n_grid_dims: int, accum: str):
+def _compiler_params(n_grid_dims: int, accum: str, conv: str = "tap"):
     """accum="f32" only: raise the per-kernel scoped-VMEM limit — the in-op
     f32 accumulators (FIR taps / resblock average) push transient VMEM past
     the 16M default at the larger C*tile blocks (an all-f32 variant measured
@@ -304,7 +352,8 @@ def _compiler_params(n_grid_dims: int, accum: str):
     are fully parallel (independent tiles). The bf16 path compiles with
     Mosaic defaults (the round-1 configuration the 313.9x number was
     measured under)."""
-    if accum != "f32":
+    if accum != "f32" and conv != "mstack":
+        # Mosaic defaults (the round-1 bf16/per-tap configuration)
         return None
     return pltpu.CompilerParams(
         dimension_semantics=("parallel",) * n_grid_dims,
@@ -429,6 +478,7 @@ def fused_amp_stage_cl(
     interpret: bool = False,
     fast: bool = False,
     accum: str = "bf16",  # fused-stage numerics knob (see module top)
+    conv: str = "tap",  # "tap" (round-1 per-tap dots) | "mstack" (one-dot M-stack)
 ) -> jnp.ndarray:
     """Transposed-layout fused stage: compute happens on (C, L) tiles so
     time rides the full 128-lane axis (C=24 minormost wastes >3/4 lanes).
@@ -447,9 +497,14 @@ def fused_amp_stage_cl(
             p = stage_params[bi]["sub"][si]
             for key in ("a1", "b1", "c1b", "a2", "b2", "c2b"):
                 flat.append(jnp.asarray(p[key])[:, None])  # (C, 1)
-            # (k, C_in, C_out) -> (k, C_out, C_in)
-            flat.append(jnp.transpose(jnp.asarray(p["w1"]), (0, 2, 1)))
-            flat.append(jnp.transpose(jnp.asarray(p["w2"]), (0, 2, 1)))
+            if conv == "mstack":
+                # (k*C_out, C_in) M-stacked layout for the one-dot conv
+                flat.append(stack_conv_weight_m(jnp.asarray(p["w1"])))
+                flat.append(stack_conv_weight_m(jnp.asarray(p["w2"])))
+            else:
+                # (k, C_in, C_out) -> (k, C_out, C_in) per-tap layout
+                flat.append(jnp.transpose(jnp.asarray(p["w1"]), (0, 2, 1)))
+                flat.append(jnp.transpose(jnp.asarray(p["w2"]), (0, 2, 1)))
 
     def kernel(x_hbm, *refs):
         out_ref = refs[-1]
@@ -476,7 +531,8 @@ def fused_amp_stage_cl(
                     subs.append({"a1": a1, "b1": b1, "c1b": c1b, "a2": a2,
                                  "b2": b2, "c2b": c2b, "w1t": w1t, "w2t": w2t})
                 params.append({"sub": subs})
-            y = stage_valid_cl(xblk, params, kernel_sizes, dilations, fast, accum)
+            y = stage_valid_cl(xblk, params, kernel_sizes, dilations, fast,
+                               accum, conv)
             out_ref[:, :] = _center_cl(y, tile).astype(out_ref.dtype)
 
         pl.run_scoped(
@@ -495,7 +551,7 @@ def fused_amp_stage_cl(
             out_specs=pl.BlockSpec((c, tile), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((c, t), x.dtype),
-            compiler_params=_compiler_params(1, accum),
+            compiler_params=_compiler_params(1, accum, conv),
             interpret=interpret,
         )(xp, *flat)
 
@@ -523,6 +579,7 @@ def fused_amp_stage_cl_batched(
     interpret: bool = False,
     fast: bool = False,
     accum: str = "bf16",  # fused-stage numerics knob (see module top)
+    conv: str = "tap",  # "tap" (round-1 per-tap dots) | "mstack" (one-dot M-stack)
 ) -> jnp.ndarray:
     """fused_amp_stage_cl with a single 2D-grid pallas_call over
     (batch, tiles) instead of a per-batch Python loop of kernels — one
@@ -541,8 +598,14 @@ def fused_amp_stage_cl_batched(
             p = stage_params[bi]["sub"][si]
             for key in ("a1", "b1", "c1b", "a2", "b2", "c2b"):
                 flat.append(jnp.asarray(p[key])[:, None])  # (C, 1)
-            flat.append(jnp.transpose(jnp.asarray(p["w1"]), (0, 2, 1)))
-            flat.append(jnp.transpose(jnp.asarray(p["w2"]), (0, 2, 1)))
+            if conv == "mstack":
+                # (k*C_out, C_in) M-stacked layout for the one-dot conv
+                flat.append(stack_conv_weight_m(jnp.asarray(p["w1"])))
+                flat.append(stack_conv_weight_m(jnp.asarray(p["w2"])))
+            else:
+                # (k, C_in, C_out) -> (k, C_out, C_in) per-tap layout
+                flat.append(jnp.transpose(jnp.asarray(p["w1"]), (0, 2, 1)))
+                flat.append(jnp.transpose(jnp.asarray(p["w2"]), (0, 2, 1)))
 
     def kernel(x_hbm, *refs):
         out_ref = refs[-1]
@@ -570,7 +633,8 @@ def fused_amp_stage_cl_batched(
                     subs.append({"a1": a1, "b1": b1, "c1b": c1b, "a2": a2,
                                  "b2": b2, "c2b": c2b, "w1t": w1t, "w2t": w2t})
                 params.append({"sub": subs})
-            y = stage_valid_cl(xblk, params, kernel_sizes, dilations, fast, accum)
+            y = stage_valid_cl(xblk, params, kernel_sizes, dilations, fast,
+                               accum, conv)
             out_ref[0, :, :] = _center_cl(y, tile).astype(out_ref.dtype)
 
         pl.run_scoped(
@@ -589,7 +653,7 @@ def fused_amp_stage_cl_batched(
         out_specs=pl.BlockSpec((1, c, tile), lambda ib, it: (ib, 0, it),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, t), x.dtype),
-        compiler_params=_compiler_params(2, accum),
+        compiler_params=_compiler_params(2, accum, conv),
         interpret=interpret,
     )(xp, *flat)
     out = jnp.transpose(out, (0, 2, 1))

@@ -86,11 +86,15 @@ def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
     # Mosaic compile of the unrolled stages is tens of minutes — the
     # persistent cache above makes reruns cheap.
     pallas_max = int(os.environ.get("AUDIOLCM_PALLAS_STAGE_MAX", "48"))
+    # fused-stage conv formulation: "tap" (default) | "mstack" (see
+    # nn/pallas_amp_stage.py:valid_conv_cl_mstack)
+    stage_conv = os.environ.get("AUDIOLCM_STAGE_CONV", "tap")
     modules = PipelineModules(
         dit=ConcatDiT2MLP(use_flash=use_flash),
         vae=AutoencoderKL1D(VAEConfig()),
         vocoder=BigVGAN(BigVGANConfig(fast_snake=fast_snake),
-                        pallas_stage_max_channels=pallas_max),
+                        pallas_stage_max_channels=pallas_max,
+                        pallas_stage_conv=stage_conv),
         clap_text=ClapTextEncoder(BertConfig()),
         t5=T5Encoder(T5Config()),
     )
@@ -122,7 +126,7 @@ def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
         modules, params, lcm_config=LCMConfig(num_inference_steps=2),
         compute_dtype=compute_dtype,
     )
-    knobs = (dtype_name, fast_snake, pallas_max)
+    knobs = (dtype_name, fast_snake, pallas_max, stage_conv)
     return pipe, clap_ids, t5_ids, knobs
 
 

@@ -115,7 +115,10 @@ def test_fused_amp_stage_cl_matches_reference(rng):
     np.testing.assert_allclose(out, golden, atol=5e-4)
 
 
-def test_fused_amp_stage_cl_batched_matches_reference(rng):
+@pytest.mark.parametrize("conv", ["tap", "mstack"])
+def test_fused_amp_stage_cl_batched_matches_reference(rng, conv):
+    """Both conv formulations (per-tap dots / one M-stacked dot + shifted
+    adds) must match the padded module path bit-comparably."""
     from audiolcm_tpu.nn.pallas_amp_stage import fused_amp_stage_cl_batched
 
     kernel_sizes, dilations = (3, 7, 11), (1, 3, 5)
@@ -125,7 +128,7 @@ def test_fused_amp_stage_cl_batched_matches_reference(rng):
     out = np.asarray(
         fused_amp_stage_cl_batched(
             x, sp, kernel_sizes, dilations, reference_fn=reference_fn,
-            tile=512, interpret=True,
+            tile=512, interpret=True, conv=conv,
         )
     )
     np.testing.assert_allclose(out, golden, atol=5e-4)
