@@ -79,6 +79,7 @@ def build_pipeline(
     pallas_stage_max_channels: int = 0,
     pallas_stage_accum: str = "bf16",
     pallas_stage_conv: str = "tap",
+    int8_min_channels: int = 0,
 ) -> AudioLCMPipeline:
     """Reference YAML + torch ckpts -> fully converted TPU pipeline.
 
@@ -116,6 +117,10 @@ def build_pipeline(
             pallas_stage_accum=pallas_stage_accum,
             pallas_stage_conv=pallas_stage_conv,
         )
+    if int8_min_channels:
+        # dynamic-int8 resblock convs at the wide stages (2x MXU rate,
+        # quantization error ~bf16-level — see nn/int8_conv.py)
+        vocoder = vocoder.clone(int8_min_channels=int8_min_channels)
 
     modules = PipelineModules(
         dit=cfg.unet,

@@ -163,6 +163,10 @@ class AMPBlock1(nn.Module):
     activation: str = "snakebeta"
     channels_first: bool = False
     fast_snake: bool = False
+    # serving knob: dynamic-int8 convs (2x MXU rate at the wide stages; see
+    # nn/int8_conv.py). Param tree stays byte-identical (_ConvParams mirrors
+    # nn.Conv), so checkpoints are knob-agnostic like the other paths.
+    int8_convs: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -189,11 +193,19 @@ class AMPBlock1(nn.Module):
             a1 = act_cls(self.snake_logscale, fast=self.fast_snake, name=f"act1_{i}")
             a2 = act_cls(self.snake_logscale, fast=self.fast_snake, name=f"act2_{i}")
             h = _alias_free(x, a1)
-            h = _conv1d(channels, self.kernel_size, d, name=f"conv1_{i}")(h)
+            h = self._conv(channels, d, f"conv1_{i}")(h)
             h = _alias_free(h, a2)
-            h = _conv1d(channels, self.kernel_size, 1, name=f"conv2_{i}")(h)
+            h = self._conv(channels, 1, f"conv2_{i}")(h)
             x = x + h
         return x
+
+    def _conv(self, channels: int, dilation: int, name: str):
+        if not self.int8_convs:
+            return _conv1d(channels, self.kernel_size, dilation, name=name)
+        from audiolcm_tpu.nn.int8_conv import int8_conv1d_cl
+
+        w, b = _ConvParams(channels, self.kernel_size, name=name)(channels)
+        return lambda h: int8_conv1d_cl(h, w, b, dilation)
 
 
 class AMPBlock2(nn.Module):
@@ -284,6 +296,9 @@ class BigVGAN(nn.Module):
     # (one M-stacked dot + shifted adds; ~5x better MXU utilization at the
     # narrow widths — see nn/pallas_amp_stage.py:valid_conv_cl_mstack)
     pallas_stage_conv: str = "tap"
+    # Serving knob: stages with ch >= this run their resblock convs with
+    # dynamic int8 (2x MXU rate; see nn/int8_conv.py). 0 = off (default).
+    int8_min_channels: int = 0
     pallas_interpret: bool = False  # tests: run the kernel in interpret mode
 
     @nn.compact
@@ -320,6 +335,7 @@ class BigVGAN(nn.Module):
                     h = AMPBlock1(
                         rk, tuple(rd), cfg.snake_logscale, cfg.activation,
                         channels_first=cf, fast_snake=cfg.fast_snake,
+                        int8_convs=(not cf and 0 < self.int8_min_channels <= ch),
                         name=f"resblock_{i}_{j}",
                     )(x)
                 else:

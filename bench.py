@@ -89,12 +89,16 @@ def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
     # fused-stage conv formulation: "tap" (default) | "mstack" (see
     # nn/pallas_amp_stage.py:valid_conv_cl_mstack)
     stage_conv = os.environ.get("AUDIOLCM_STAGE_CONV", "tap")
+    # dynamic-int8 resblock convs for stages with ch >= this (0 = off; see
+    # nn/int8_conv.py)
+    int8_min = int(os.environ.get("AUDIOLCM_INT8_MIN", "0"))
     modules = PipelineModules(
         dit=ConcatDiT2MLP(use_flash=use_flash),
         vae=AutoencoderKL1D(VAEConfig()),
         vocoder=BigVGAN(BigVGANConfig(fast_snake=fast_snake),
                         pallas_stage_max_channels=pallas_max,
-                        pallas_stage_conv=stage_conv),
+                        pallas_stage_conv=stage_conv,
+                        int8_min_channels=int8_min),
         clap_text=ClapTextEncoder(BertConfig()),
         t5=T5Encoder(T5Config()),
     )
@@ -126,7 +130,7 @@ def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
         modules, params, lcm_config=LCMConfig(num_inference_steps=2),
         compute_dtype=compute_dtype,
     )
-    knobs = (dtype_name, fast_snake, pallas_max, stage_conv)
+    knobs = (dtype_name, fast_snake, pallas_max, stage_conv, int8_min)
     return pipe, clap_ids, t5_ids, knobs
 
 
