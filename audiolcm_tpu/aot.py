@@ -49,7 +49,28 @@ def source_fingerprint(extra: Sequence[Any] = ()) -> str:
         h.update(f"{d.platform}/{getattr(d, 'device_kind', '')}".encode())
     except Exception:
         pass
+    h.update(runtime_build_id().encode())
     return h.hexdigest()[:16]
+
+
+def runtime_build_id() -> str:
+    """Identity of the TPU runtime/libtpu build the executable was compiled
+    against. This environment rolls libtpu mid-flight (MULTICHIP_r01's
+    failure tail was literally a client/AOT libtpu version mismatch), and a
+    stale serialized executable can deserialize fine yet raise
+    FAILED_PRECONDITION at execution — so the build string (which carries
+    the SerializedExecutable/compile-cache versions and the build CL) must
+    be part of every artifact key. Overridable for tests via
+    AUDIOLCM_AOT_BUILD_ID."""
+    forced = os.environ.get("AUDIOLCM_AOT_BUILD_ID")
+    if forced is not None:
+        return forced
+    try:
+        from jax._src import xla_bridge
+
+        return str(getattr(xla_bridge.get_backend(), "platform_version", ""))
+    except Exception:
+        return ""
 
 
 def cache_dir() -> str:
@@ -59,6 +80,26 @@ def cache_dir() -> str:
             os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"), "aot"
         ),
     )
+
+
+def purge(tag: str) -> int:
+    """Drop every persisted artifact for `tag`; returns the number removed.
+
+    Callers use this when a LOADED executable fails at call time (stale
+    libtpu despite the build-id key, corrupted artifact, flag-default
+    drift): purge + a fresh load_or_compile gives a clean recompile."""
+    n = 0
+    d = cache_dir()
+    if not os.path.isdir(d):
+        return 0
+    for fn in os.listdir(d):
+        if fn.startswith(f"{tag}-") and fn.endswith(".pkl"):
+            try:
+                os.remove(os.path.join(d, fn))
+                n += 1
+            except OSError:
+                pass
+    return n
 
 
 def load_or_compile(
@@ -71,6 +112,11 @@ def load_or_compile(
     is lowered+compiled normally and the executable persisted for next time;
     persistence failures (e.g. a backend without executable serialization)
     degrade to plain compile silently.
+
+    "loaded" executables can still fail AT CALL TIME if the runtime moved
+    underneath the key (see runtime_build_id): callers running unattended
+    (bench.py, serving loops) should wrap the first invocation, and on
+    failure `purge(tag)` + call load_or_compile again for a clean compile.
     """
     from jax.experimental import serialize_executable as se
 

@@ -35,6 +35,9 @@ def parse_args(argv: Optional[List[str]] = None):
     p.add_argument("-l", "--logdir", type=str, default="logs")
     p.add_argument("-s", "--seed", type=int, default=23)
     p.add_argument("--max_epochs", type=int, default=100)
+    # logger backend dispatch, main.py:634-658 (TB default, wandb option)
+    p.add_argument("--logger", type=str, default="tensorboard",
+                   choices=["tensorboard", "wandb"])
     p.add_argument("--scale_lr", action="store_true", default=True)
     args, unknown = p.parse_known_args(argv)
     return args, unknown
@@ -89,7 +92,11 @@ def _build_loader(cfg: dict, batch_size: int, split: str = "train"):
     `other_spec_dir_path` (teacher.yaml two-pool schema,
     `joinaudiodataset_struct_sample_anylen.py:97-222`) -> main-pool batches
     interleaved with random other-pool batches whose struct captions are
-    synthesized as `<cap& all>`. Validation draws from the main pool.
+    synthesized as `<cap& all>`. Validation interleaves too: the reference's
+    `_val_dataloader` builds the same DDPIndexBatchSampler over
+    (100-row main val carve-out, FULL other pool) — only the main pool has
+    a val split (`main.py:248-265`,
+    `joinaudiodataset_struct_sample_anylen.py:41-46`).
     """
     from audiolcm_tpu.data.datasets import (
         BucketedBatchLoader,
@@ -113,9 +120,7 @@ def _build_loader(cfg: dict, batch_size: int, split: str = "train"):
     )
     loader = make(spec_dir)
     other_dir = data_params.get("other_spec_dir_path")
-    if other_dir and split == "train":
-        # the other pool has no val carve-out — the reference splits only the
-        # main pool (joinaudiodataset_struct_sample_anylen.py:41-46)
+    if other_dir:
         loader = TwoPoolBatchLoader(
             loader, make(other_dir, split_="all", synthesize_struct=True)
         )
@@ -247,6 +252,7 @@ def run_vae_training(cfg, args, logdir, ndev, batch_size):
     trainer = Trainer(
         step_fn, state, logdir, checkpoints=ckpt,
         val_fn=_make_val_fn(step_fn, val_loader(0)),
+        logger=getattr(args, "logger", "tensorboard"),
     )
     # AudioLogger parity (main.py:452-530): every sample_every steps render
     # a fixed val batch's inputs + current reconstructions as .npy and TB
@@ -383,6 +389,7 @@ def run_vae_variant_training(cfg, args, logdir, ndev, batch_size, vae,
     trainer = Trainer(
         step_fn, state, logdir, checkpoints=ckpt,
         val_fn=_make_val_fn(step_fn, val_loader(0)),
+        logger=getattr(args, "logger", "tensorboard"),
     )
     trainer.sample_logger = _make_vae_sample_logger(
         trainer, val_loader(0), vae_apply, logdir
@@ -533,8 +540,13 @@ def run_teacher_training(cfg, args, logdir, ndev, batch_size,
     def dit_apply(p, x, t, ctx, w=None):
         return dit.apply({"params": p}, x, t, ctx, w)
 
+    from audiolcm_tpu.train.lr_schedules import build_schedule
+
+    lr = scale_learning_rate(sys_cfg.base_learning_rate, batch_size, ndev)
     tcfg = TeacherConfig(
-        learning_rate=scale_learning_rate(sys_cfg.base_learning_rate, batch_size, ndev)
+        learning_rate=lr,
+        lr_schedule=build_schedule(
+            cfg["model"]["params"].get("scheduler_config"), lr),
     )
     step = jax.jit(make_teacher_step(dit_apply, schedule, tcfg))
     params = jax.tree.map(jnp.asarray, parts["teacher"])
@@ -552,6 +564,7 @@ def run_teacher_training(cfg, args, logdir, ndev, batch_size,
     Trainer(
         step_fn, state, logdir, checkpoints=ckpt,
         val_fn=_make_val_fn(step_fn, iter(val_loader)),
+        logger=getattr(args, "logger", "tensorboard"),
     ).fit(
         lambda e: (loader_obj.set_epoch(e), iter(loader_obj))[1],
         num_epochs=args.max_epochs, rng=jax.random.PRNGKey(args.seed),
@@ -591,10 +604,15 @@ def run_lcm_training(cfg, args, logdir, ndev, batch_size,
     def dit_apply(p, x, t, ctx, w=None):
         return dit.apply({"params": p}, x, t, ctx, w)
 
+    from audiolcm_tpu.train.lr_schedules import build_schedule
+
+    lr = scale_learning_rate(sys_cfg.base_learning_rate, batch_size, ndev)
     dcfg = LCMDistillConfig(
         num_ddim_timesteps=sys_cfg.num_ddim_timesteps,
         w_min=sys_cfg.w_min, w_max=sys_cfg.w_max,
-        learning_rate=scale_learning_rate(sys_cfg.base_learning_rate, batch_size, ndev),
+        learning_rate=lr,
+        lr_schedule=build_schedule(
+            cfg["model"]["params"].get("scheduler_config"), lr),
     )
     teacher = jax.tree.map(jnp.asarray, parts["teacher"])
     student_init = parts["student"] if parts["student"] else parts["teacher"]
@@ -619,6 +637,7 @@ def run_lcm_training(cfg, args, logdir, ndev, batch_size,
     Trainer(
         step_fn, state, logdir, checkpoints=ckpt,
         val_fn=_make_val_fn(step_fn, iter(val_loader)),
+        logger=getattr(args, "logger", "tensorboard"),
     ).fit(
         lambda e: (loader_obj.set_epoch(e), iter(loader_obj))[1],
         num_epochs=args.max_epochs, rng=jax.random.PRNGKey(args.seed),

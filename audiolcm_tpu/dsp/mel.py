@@ -106,6 +106,10 @@ class MelConfig:
     fmin: float = 0.0
     fmax: float = 8000.0
     clip_val: float = 1e-5
+    # "10" = the generation pipeline's log10 (`NAT_mel.py:26`); "e" = the
+    # hifi-gan-derived vocoder scripts' natural log
+    # (`vocoder/bigvgan/meldataset.py:38-47` dynamic_range_compression).
+    log_base: str = "10"
 
 
 def _frame(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
@@ -165,7 +169,8 @@ class MelSpectrogram:
         mel = jnp.einsum(
             "mf,bft->bmt", self.mel_basis, mag, preferred_element_type=jnp.float32
         )
-        return jnp.log10(jnp.clip(mel, cfg.clip_val, None))
+        log = jnp.log if cfg.log_base == "e" else jnp.log10
+        return log(jnp.clip(mel, cfg.clip_val, None))
 
     def num_frames(self, num_samples: int) -> int:
         cfg = self.config

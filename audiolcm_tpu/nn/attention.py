@@ -53,9 +53,16 @@ class MultiHeadSelfAttention(nn.Module):
         b, t, _ = x.shape
         split = lambda a: a.reshape(b, t, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
         if self.use_flash:
+            import jax
+
             from audiolcm_tpu.nn.pallas_attention import flash_attention
 
-            out = flash_attention(split(q), split(k), split(v), self.head_dim**-0.5)
+            # interpret off-TPU so the flash path itself (not a silent einsum
+            # substitute) is exercised by CPU tests like the serving error
+            # budget; on TPU this is the compiled Mosaic kernel
+            out = flash_attention(split(q), split(k), split(v),
+                                  self.head_dim**-0.5,
+                                  interpret=jax.default_backend() != "tpu")
         else:
             out = dot_product_attention(split(q), split(k), split(v), self.head_dim**-0.5)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)

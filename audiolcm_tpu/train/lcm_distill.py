@@ -46,6 +46,9 @@ class LCMDistillConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1.0e-8
+    # optional optax.Schedule (already including base_lr; see
+    # train/lr_schedules.build_schedule). None = the shipped lambda-linear.
+    lr_schedule: Optional[Callable] = None
 
 
 class TrainState(NamedTuple):
@@ -78,7 +81,8 @@ def make_optimizer(cfg: LCMDistillConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(
-            learning_rate=lambda_linear_schedule(cfg.learning_rate, cfg.warmup_steps),
+            learning_rate=cfg.lr_schedule
+            or lambda_linear_schedule(cfg.learning_rate, cfg.warmup_steps),
             b1=cfg.adam_b1,
             b2=cfg.adam_b2,
             eps=cfg.adam_eps,

@@ -29,7 +29,12 @@ class TensorBoardLogger:
             from tensorboardX import SummaryWriter
 
             self.writer = SummaryWriter(logdir)
-        except Exception:
+        except Exception as e:
+            # LOUD one-liner: a long run silently losing all TB observability
+            # is worse than the import failure itself
+            print(f"WARNING: TensorBoard logging disabled — tensorboardX "
+                  f"unavailable ({type(e).__name__}: {e}); training metrics "
+                  f"will only reach metrics.jsonl", flush=True)
             self.writer = None
 
     @property
@@ -82,9 +87,21 @@ class TensorBoardLogger:
             sample_rate=sample_rate, num_channels=1, length_frames=len(wav),
             encoded_audio_string=buf.getvalue(), content_type="audio/wav",
         )
-        self.writer._get_file_writer().add_summary(
-            Summary(value=[Summary.Value(tag=tag, audio=audio)]), step
-        )
+        # _get_file_writer is tensorboardX-private but unavoidable: the public
+        # add_audio hard-requires the absent soundfile package. Guard against
+        # the API moving under us and fall back to add_audio (which will warn
+        # below rather than crash training).
+        fw = getattr(self.writer, "_get_file_writer", None)
+        if fw is not None:
+            fw().add_summary(
+                Summary(value=[Summary.Value(tag=tag, audio=audio)]), step
+            )
+            return
+        try:
+            self.writer.add_audio(tag, wav, step, sample_rate=sample_rate)
+        except Exception as e:
+            print(f"WARNING: TB audio summary for {tag!r} dropped "
+                  f"({type(e).__name__}: {e})", flush=True)
 
     def flush(self) -> None:
         if self.writer is not None:
@@ -94,6 +111,96 @@ class TensorBoardLogger:
         if self.writer is not None:
             self.writer.close()
             self.writer = None
+
+
+class WandbLogger:
+    """Weights & Biases backend with the TensorBoardLogger interface.
+
+    Parity: `main.py:634-658` offers a WandbLogger config block next to the
+    TB/testtube default. Guarded import — wandb is not shipped in this
+    environment, so construction degrades to a LOUD no-op (same contract as
+    TensorBoardLogger without tensorboardX)."""
+
+    def __init__(self, logdir: str, enabled: bool = True,
+                 project: str = "audiolcm_tpu", name: Optional[str] = None):
+        self.run = None
+        self._wandb = None
+        if not enabled:
+            return
+        try:
+            import wandb
+
+            self._wandb = wandb
+            self.run = wandb.init(
+                project=project, name=name or os.path.basename(logdir),
+                dir=logdir, id=(name or os.path.basename(logdir)),
+            )
+        except Exception as e:
+            print(f"WARNING: wandb logging disabled — wandb unavailable "
+                  f"({type(e).__name__}: {e}); training metrics will only "
+                  f"reach metrics.jsonl", flush=True)
+            self.run = None
+
+    @property
+    def active(self) -> bool:
+        return self.run is not None
+
+    def scalars(self, step: int, metrics: dict) -> None:
+        if self.run is None:
+            return
+        clean = {}
+        for k, v in metrics.items():
+            try:
+                clean[k] = float(v)
+            except (TypeError, ValueError):
+                pass
+        if clean:
+            self.run.log(clean, step=step)
+
+    def mel_image(self, tag: str, mel_ct: np.ndarray, step: int,
+                  vmin: float = -5.0, vmax: float = 1.5) -> None:
+        if self.run is None:
+            return
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(10, 4))
+        im = ax.imshow(np.asarray(mel_ct), origin="lower", aspect="auto",
+                       vmin=vmin, vmax=vmax, interpolation="none")
+        fig.colorbar(im, ax=ax)
+        self.run.log({tag: self._wandb.Image(fig)}, step=step)
+        plt.close(fig)
+
+    def audio(self, tag: str, wav: np.ndarray, step: int,
+              sample_rate: int = 16000) -> None:
+        if self.run is None:
+            return
+        wav = np.clip(np.asarray(wav, dtype=np.float32).reshape(-1), -1.0, 1.0)
+        self.run.log(
+            {tag: self._wandb.Audio(wav, sample_rate=sample_rate)}, step=step)
+
+    def flush(self) -> None:
+        pass  # wandb streams asynchronously
+
+    def close(self) -> None:
+        if self.run is not None:
+            self.run.finish()
+            self.run = None
+
+
+def make_logger(backend: str, logdir: str, enabled: bool = True):
+    """Logger factory mirroring the reference's logger-config dispatch
+    (`main.py:634-658`): "tensorboard" (default) or "wandb". An unknown
+    backend warns loudly and falls back to TensorBoard rather than silently
+    dropping observability."""
+    if backend == "wandb":
+        return WandbLogger(logdir, enabled=enabled)
+    if backend not in ("tensorboard", "testtube", ""):
+        print(f"WARNING: unknown logger backend {backend!r}; "
+              f"falling back to tensorboard", flush=True)
+    return TensorBoardLogger(logdir, enabled=enabled)
 
 
 class AudioSampleLogger:

@@ -74,17 +74,19 @@ class Trainer:
         sample_every: int = 5000,
         checkpoint_every_steps: int = 10000,
         tensorboard: bool = True,
+        logger: str = "tensorboard",
     ):
         self.step_fn = step_fn
         self.state = state
         self.logdir = logdir
         self.metrics = MetricsLogger(logdir)
-        # scalar mirror of the reference's TB logger (main.py:634-658);
-        # no-op when tensorboardX is unavailable
-        from audiolcm_tpu.train.logging import TensorBoardLogger
+        # scalar mirror of the reference's logger dispatch (main.py:634-658):
+        # tensorboard (default) or wandb; loud no-op when the backend package
+        # is unavailable
+        from audiolcm_tpu.train.logging import make_logger
 
-        self.tb = TensorBoardLogger(os.path.join(logdir, "tb"),
-                                    enabled=tensorboard)
+        self.tb = make_logger(logger, os.path.join(logdir, "tb"),
+                              enabled=tensorboard)
         self.checkpoints = checkpoints
         self.val_fn = val_fn
         self.sample_logger = sample_logger

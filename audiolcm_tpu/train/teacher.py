@@ -34,6 +34,9 @@ class TeacherConfig:
     l_simple_weight: float = 1.0
     original_elbo_weight: float = 0.0
     weight_decay: float = 1.0e-2
+    # optional optax.Schedule (already including base_lr; see
+    # train/lr_schedules.build_schedule). None = the shipped lambda-linear.
+    lr_schedule: Optional[Callable] = None
 
 
 class TeacherState(NamedTuple):
@@ -46,7 +49,8 @@ def make_teacher_optimizer(cfg: TeacherConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(
-            learning_rate=lambda_linear_schedule(cfg.learning_rate, cfg.warmup_steps),
+            learning_rate=cfg.lr_schedule
+            or lambda_linear_schedule(cfg.learning_rate, cfg.warmup_steps),
             weight_decay=cfg.weight_decay,
         ),
     )

@@ -12,7 +12,87 @@ vs_baseline is against the BASELINE.md north-star of 10x real-time per chip.
 
 import json
 import os
+import subprocess
+import sys
 import time
+
+# ---------------------------------------------------------------------------
+# Tunnel resilience (VERDICT r2 #1): the TPU backend behind the axon tunnel
+# flaps — round 2's driver bench died with UNAVAILABLE at the FIRST backend
+# touch before any repo code ran. Strategy:
+#   1. Probe the backend in a fresh SUBPROCESS with a hard timeout (an
+#      in-process init failure is cached by jax and poisons the process),
+#      retrying with backoff for up to AUDIOLCM_BENCH_PROBE_SECS (default
+#      20 min).
+#   2. Only after a probe succeeds, init the backend in THIS process.
+#   3. If the backend dies mid-run anyway, re-exec the script from scratch
+#      (bounded by AUDIOLCM_BENCH_ATTEMPTS) — warm caches make the retry
+#      cheap.
+# ---------------------------------------------------------------------------
+
+_MAX_ATTEMPTS = int(os.environ.get("AUDIOLCM_BENCH_ATTEMPTS", "4"))
+
+
+def _await_backend() -> None:
+    """Block until a throwaway subprocess can see the TPU; die loudly after
+    the probe budget. Probe output goes to stderr; stdout stays clean for
+    the single JSON result line."""
+    budget = float(os.environ.get("AUDIOLCM_BENCH_PROBE_SECS", "1200"))
+    deadline = time.time() + budget
+    delay = 10.0
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=240, capture_output=True, text=True,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"bench: backend up after {attempt} probes",
+                          file=sys.stderr)
+                return
+            err = (r.stderr or "").strip().splitlines()
+            err = err[-1] if err else "?"
+        except subprocess.TimeoutExpired:
+            err = "probe timed out after 240s"
+        print(f"bench: backend probe {attempt} failed ({err}); "
+              f"{max(0, deadline - time.time()):.0f}s of budget left",
+              file=sys.stderr)
+        if time.time() + delay > deadline:
+            raise SystemExit(
+                f"bench: TPU backend unavailable after {budget:.0f}s of "
+                f"probing ({attempt} attempts)")
+        time.sleep(delay)
+        delay = min(delay * 1.7, 120.0)
+
+
+def _reexec_or_die(stage: str, exc: BaseException) -> None:
+    """A backend failure mid-run poisons jax's cached backend state; the only
+    clean retry is a fresh process. Bounded by AUDIOLCM_BENCH_ATTEMPT."""
+    n = int(os.environ.get("AUDIOLCM_BENCH_ATTEMPT", "1"))
+    print(f"bench: backend failure during {stage} (attempt {n}): "
+          f"{type(exc).__name__}: {exc}", file=sys.stderr)
+    if n >= _MAX_ATTEMPTS:
+        raise SystemExit(
+            f"bench: giving up after {n} attempts (stage: {stage})")
+    env = dict(os.environ, AUDIOLCM_BENCH_ATTEMPT=str(n + 1))
+    sys.stderr.flush()
+    sys.stdout.flush()
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+def _is_backend_failure(exc: BaseException) -> bool:
+    txt = f"{type(exc).__name__}: {exc}"
+    return any(s in txt for s in (
+        "UNAVAILABLE", "Unable to initialize backend", "DEADLINE_EXCEEDED",
+        "FAILED_PRECONDITION", "INTERNAL", "Socket closed", "connection",
+    ))
+
+
+_await_backend()
 
 import jax
 
@@ -147,14 +227,15 @@ def main():
     if os.environ.get("AUDIOLCM_NO_AOT", "0") == "1":
         gen = lambda r: pipe._generate_ids_jit(
             pipe.params, r, clap_ids, t5_ids, latent_len)
+        how = "jit"
     else:
         from audiolcm_tpu.aot import load_or_compile
 
+        aot_args = (pipe.params, rng, clap_ids, t5_ids, latent_len)
+        aot_extra = ("bench",) + knobs + (batch, latent_len, tok_len)
         gen_exec, how = load_or_compile(
-            "bench_generate",
-            pipe._generate_ids_jit,
-            (pipe.params, rng, clap_ids, t5_ids, latent_len),
-            extra=("bench",) + knobs + (batch, latent_len, tok_len),
+            "bench_generate", pipe._generate_ids_jit, aot_args,
+            extra=aot_extra,
         )
         gen = lambda r: gen_exec(pipe.params, r, clap_ids, t5_ids)
 
@@ -164,9 +245,30 @@ def main():
         # scalar value is the only reliable completion barrier.
         return float(jnp.sum(x))
 
-    # warmup
-    wav, _ = gen(rng)
-    force(wav)
+    # warmup — and the stale-AOT guard: a persisted executable keyed before a
+    # libtpu roll can deserialize fine yet fail at first execution. Purge the
+    # artifact and recompile once from clean before treating the failure as
+    # a backend flap.
+    try:
+        wav, _ = gen(rng)
+        force(wav)
+    except Exception as exc:
+        if how == "loaded":
+            from audiolcm_tpu.aot import load_or_compile, purge
+
+            print(f"bench: loaded AOT executable failed at call time "
+                  f"({type(exc).__name__}: {exc}); purging and recompiling",
+                  file=sys.stderr)
+            purge("bench_generate")
+            gen_exec, how = load_or_compile(
+                "bench_generate", pipe._generate_ids_jit, aot_args,
+                extra=aot_extra,
+            )
+            gen = lambda r: gen_exec(pipe.params, r, clap_ids, t5_ids)
+            wav, _ = gen(rng)
+            force(wav)
+        else:
+            raise
 
     iters = 5
     start = time.perf_counter()
@@ -192,4 +294,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception as e:
+        if _is_backend_failure(e):
+            _reexec_or_die("main", e)
+        raise

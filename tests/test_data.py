@@ -215,9 +215,11 @@ def test_melprep_skip_existing_resumes(tmp_path):
 
 def test_build_loader_two_pool_schema(manifest_dir, tmp_path):
     """CLI loader factory honors teacher.yaml's two-pool schema
-    (main_spec_dir_path + other_spec_dir_path): train interleaves an
-    other-pool batch after each main batch with synthesized struct
-    captions; validation draws from the main pool only."""
+    (main_spec_dir_path + other_spec_dir_path): train AND validation
+    interleave an other-pool batch after each main batch with synthesized
+    struct captions — the reference's `_val_dataloader` builds the same
+    two-pool DDPIndexBatchSampler over (main val carve-out, full other
+    pool) as training (`main.py:248-265`)."""
     from audiolcm_tpu.cli.train import _build_loader
 
     rng = np.random.default_rng(1)
@@ -260,10 +262,15 @@ def test_build_loader_two_pool_schema(manifest_dir, tmp_path):
     assert batches[1]["struct_caption"][0].startswith("<other cap")
     assert batches[1]["struct_caption"][0].endswith("& all>")
 
-    # validation draws from the main pool only
+    # validation interleaves too: main batches come from the 100-row val
+    # carve-out, other batches from the FULL other pool
     val = _build_loader(cfg, batch_size=2, split="valid")
-    assert isinstance(val, BucketedBatchLoader)
-    assert all(n.startswith("main") for b in val for n in b["names"])
+    assert isinstance(val, TwoPoolBatchLoader)
+    assert len(val.main.dataset) == 100
+    assert len(val.other.dataset) == 104
+    val_batches = list(val)
+    assert all(n.startswith("main") for n in val_batches[0]["names"])
+    assert all(n.startswith("other") for n in val_batches[1]["names"])
 
     # single-pool schema still works
     single = _build_loader(

@@ -77,3 +77,35 @@ def test_tensorboard_logger_disabled_is_noop(tmp_path):
     tb.flush()
     tb.close()
     assert not os.path.exists(tmp_path / "tb")
+
+
+def test_wandb_logger_degrades_loudly(tmp_path, capsys):
+    """wandb is not installed in this environment: WandbLogger must become a
+    no-op AND say so on stdout (Weak r2 #5: silent observability loss)."""
+    from audiolcm_tpu.train.logging import WandbLogger
+
+    wl = WandbLogger(str(tmp_path / "wb"))
+    out = capsys.readouterr().out
+    assert not wl.active
+    assert "WARNING" in out and "wandb" in out
+    # full interface is safe as a no-op
+    wl.scalars(0, {"a": 1.0})
+    wl.mel_image("m", np.zeros((8, 8)), 0)
+    wl.audio("a", np.zeros(16), 0)
+    wl.flush()
+    wl.close()
+
+
+def test_make_logger_dispatch_and_unknown_backend(tmp_path, capsys):
+    from audiolcm_tpu.train.logging import (
+        TensorBoardLogger as TBL,
+        WandbLogger,
+        make_logger,
+    )
+
+    assert isinstance(make_logger("tensorboard", str(tmp_path / "a")), TBL)
+    assert isinstance(make_logger("wandb", str(tmp_path / "b")), WandbLogger)
+    capsys.readouterr()
+    lg = make_logger("mysterious", str(tmp_path / "c"))
+    assert isinstance(lg, TBL)
+    assert "unknown logger backend" in capsys.readouterr().out
