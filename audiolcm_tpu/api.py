@@ -80,6 +80,7 @@ def build_pipeline(
     pallas_stage_accum: str = "bf16",
     pallas_stage_conv: str = "tap",
     int8_min_channels: int = 0,
+    fuse_text: bool = True,
 ) -> AudioLCMPipeline:
     """Reference YAML + torch ckpts -> fully converted TPU pipeline.
 
@@ -122,12 +123,18 @@ def build_pipeline(
         # quantization error ~bf16-level — see nn/int8_conv.py)
         vocoder = vocoder.clone(int8_min_channels=int8_min_channels)
 
+    clap_mod, t5_mod = cfg.cond["clap_text"], cfg.cond["t5"]
+    if fuse_text:
+        # Q/K/V (and T5 gated-FF) as single wider matmuls — numerics-
+        # preserving reparameterization (models/t5_encoder.py:fuse_t5_params)
+        clap_mod = clap_mod.clone(fuse_proj=True)
+        t5_mod = t5_mod.clone(fuse_proj=True)
     modules = PipelineModules(
         dit=cfg.unet,
         vae=cfg.vae,
         vocoder=vocoder,
-        clap_text=cfg.cond["clap_text"],
-        t5=cfg.cond["t5"],
+        clap_text=clap_mod,
+        t5=t5_mod,
     )
 
     if model_path is None:
@@ -171,6 +178,15 @@ def build_pipeline(
         t5=convert_t5_encoder(parts["t5"], num_layers=modules.t5.config.num_layers),
         scale_factor=parts["scale_factor"],
     )
+    if fuse_text:
+        from audiolcm_tpu.models.clap_text import fuse_bert_params
+        from audiolcm_tpu.models.t5_encoder import fuse_t5_params
+
+        params = params.replace(
+            clap_text={**params.clap_text,
+                       "bert": fuse_bert_params(params.clap_text["bert"])},
+            t5=fuse_t5_params(params.t5),
+        )
     params = jax.tree.map(jnp.asarray, params)  # PipelineParams is a pytree
     if compute_dtype != jnp.float32:
         from audiolcm_tpu.pipeline import cast_params

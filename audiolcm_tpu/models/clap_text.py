@@ -39,6 +39,10 @@ class BertConfig:
 
 class BertLayer(nn.Module):
     config: BertConfig
+    # fuse_proj=True runs Q/K/V as ONE matmul (params under "qkv"; see
+    # fuse_bert_params). At serving shapes (B*77 rows) the towers are
+    # small-matmul bound, so fewer/wider dots raise MXU utilization.
+    fuse_proj: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask_bias: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -46,9 +50,13 @@ class BertLayer(nn.Module):
         head_dim = cfg.hidden_size // cfg.num_heads
         b, t, _ = x.shape
 
-        q = nn.Dense(cfg.hidden_size, name="q")(x)
-        k = nn.Dense(cfg.hidden_size, name="k")(x)
-        v = nn.Dense(cfg.hidden_size, name="v")(x)
+        if self.fuse_proj:
+            qkv = nn.Dense(3 * cfg.hidden_size, name="qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = nn.Dense(cfg.hidden_size, name="q")(x)
+            k = nn.Dense(cfg.hidden_size, name="k")(x)
+            v = nn.Dense(cfg.hidden_size, name="v")(x)
         split = lambda a: a.reshape(b, t, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", split(q), split(k), preferred_element_type=jnp.float32
@@ -71,6 +79,7 @@ class BertEncoder(nn.Module):
     """input_ids (B, L) -> last_hidden_state (B, L, hidden)."""
 
     config: BertConfig = BertConfig()
+    fuse_proj: bool = False
 
     @nn.compact
     def __call__(
@@ -96,8 +105,27 @@ class BertEncoder(nn.Module):
         if attention_mask is not None:
             mask_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
         for i in range(cfg.num_layers):
-            h = BertLayer(cfg, name=f"layer_{i}")(h, mask_bias)
+            h = BertLayer(cfg, fuse_proj=self.fuse_proj, name=f"layer_{i}")(h, mask_bias)
         return h
+
+
+def fuse_bert_params(bert_params):
+    """Standard BertEncoder params -> the fuse_proj=True layout: each
+    layer's q/k/v Dense merged into one "qkv" Dense (kernels concatenated
+    along the output axis). Output-column blocks of one matmul reduce over
+    K identically to the separate matmuls, so this is numerics-preserving."""
+    out = {}
+    for name, sub in bert_params.items():
+        if name.startswith("layer_") and "q" in sub:
+            sub = dict(sub)
+            q, k, v = sub.pop("q"), sub.pop("k"), sub.pop("v")
+            sub["qkv"] = {
+                "kernel": jnp.concatenate(
+                    [q["kernel"], k["kernel"], v["kernel"]], axis=1),
+                "bias": jnp.concatenate([q["bias"], k["bias"], v["bias"]]),
+            }
+        out[name] = sub
+    return out
 
 
 class Projection(nn.Module):
@@ -119,10 +147,13 @@ class ClapTextEncoder(nn.Module):
 
     config: BertConfig = BertConfig()
     d_proj: int = 1024
+    fuse_proj: bool = False
 
     @nn.compact
     def __call__(
         self, input_ids: jnp.ndarray, attention_mask: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
-        h = BertEncoder(self.config, name="bert")(input_ids, attention_mask)
+        h = BertEncoder(self.config, fuse_proj=self.fuse_proj, name="bert")(
+            input_ids, attention_mask
+        )
         return Projection(self.d_proj, name="projection")(h)

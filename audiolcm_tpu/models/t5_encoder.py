@@ -73,6 +73,10 @@ class RMSNorm(nn.Module):
 
 class T5Layer(nn.Module):
     config: T5Config
+    # fuse_proj=True runs Q/K/V as ONE matmul ("qkv") and the gated FF's
+    # wi_0/wi_1 as ONE matmul ("wi"); see fuse_t5_params. The towers are
+    # small-matmul bound at 77-token serving shapes — fewer/wider dots.
+    fuse_proj: bool = False
 
     @nn.compact
     def __call__(
@@ -85,7 +89,11 @@ class T5Layer(nn.Module):
         h = RMSNorm(cfg.layer_norm_epsilon, name="attn_norm")(x)
         dense = lambda feats, name: nn.Dense(feats, use_bias=False, name=name)
         split = lambda a: a.reshape(b, t, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
-        q, k, v = (split(dense(inner, n)(h)) for n in ("q", "k", "v"))
+        if self.fuse_proj:
+            q, k, v = (split(a) for a in
+                       jnp.split(dense(3 * inner, "qkv")(h), 3, axis=-1))
+        else:
+            q, k, v = (split(dense(inner, n)(h)) for n in ("q", "k", "v"))
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
         logits = logits + pos_bias  # NOTE: no 1/sqrt(d) scaling (T5 semantics)
         if mask_bias is not None:
@@ -96,8 +104,11 @@ class T5Layer(nn.Module):
         x = x + dense(cfg.d_model, "o")(attn)
 
         h = RMSNorm(cfg.layer_norm_epsilon, name="ff_norm")(x)
-        wi0 = dense(cfg.d_ff, "wi_0")(h)
-        wi1 = dense(cfg.d_ff, "wi_1")(h)
+        if self.fuse_proj:
+            wi0, wi1 = jnp.split(dense(2 * cfg.d_ff, "wi")(h), 2, axis=-1)
+        else:
+            wi0 = dense(cfg.d_ff, "wi_0")(h)
+            wi1 = dense(cfg.d_ff, "wi_1")(h)
         h = jax.nn.gelu(wi0, approximate=True) * wi1  # gated gelu_new
         return x + dense(cfg.d_model, "wo")(h)
 
@@ -106,6 +117,7 @@ class T5Encoder(nn.Module):
     """input_ids (B, L) -> last_hidden_state (B, L, d_model)."""
 
     config: T5Config = T5Config()
+    fuse_proj: bool = False
 
     @nn.compact
     def __call__(
@@ -130,5 +142,26 @@ class T5Encoder(nn.Module):
             mask_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
 
         for i in range(cfg.num_layers):
-            h = T5Layer(cfg, name=f"layer_{i}")(h, pos_bias, mask_bias)
+            h = T5Layer(cfg, fuse_proj=self.fuse_proj, name=f"layer_{i}")(
+                h, pos_bias, mask_bias
+            )
         return RMSNorm(cfg.layer_norm_epsilon, name="final_norm")(h)
+
+
+def fuse_t5_params(params):
+    """Standard T5Encoder params -> the fuse_proj=True layout: per layer,
+    q/k/v kernels concatenated into "qkv" and wi_0/wi_1 into "wi" (output
+    axis). Output-column blocks of one matmul reduce over K identically to
+    the separate matmuls, so this is numerics-preserving."""
+    out = {}
+    for name, sub in params.items():
+        if name.startswith("layer_") and "q" in sub:
+            sub = dict(sub)
+            q, k, v = sub.pop("q"), sub.pop("k"), sub.pop("v")
+            sub["qkv"] = {"kernel": jnp.concatenate(
+                [q["kernel"], k["kernel"], v["kernel"]], axis=1)}
+            w0, w1 = sub.pop("wi_0"), sub.pop("wi_1")
+            sub["wi"] = {"kernel": jnp.concatenate(
+                [w0["kernel"], w1["kernel"]], axis=1)}
+        out[name] = sub
+    return out

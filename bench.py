@@ -172,6 +172,10 @@ def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
     # dynamic-int8 resblock convs for stages with ch >= this (0 = off; see
     # nn/int8_conv.py)
     int8_min = int(os.environ.get("AUDIOLCM_INT8_MIN", "0"))
+    # fused text-tower projections: Q/K/V (and T5's gated-FF pair) as single
+    # wider matmuls — numerics-preserving (see models/t5_encoder.py:
+    # fuse_t5_params)
+    fuse_text = os.environ.get("AUDIOLCM_FUSE_TEXT", "1") == "1"
     modules = PipelineModules(
         dit=ConcatDiT2MLP(use_flash=use_flash),
         vae=AutoencoderKL1D(VAEConfig()),
@@ -179,8 +183,8 @@ def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
                         pallas_stage_max_channels=pallas_max,
                         pallas_stage_conv=stage_conv,
                         int8_min_channels=int8_min),
-        clap_text=ClapTextEncoder(BertConfig()),
-        t5=T5Encoder(T5Config()),
+        clap_text=ClapTextEncoder(BertConfig(), fuse_proj=fuse_text),
+        t5=T5Encoder(T5Config(), fuse_proj=fuse_text),
     )
 
     clap_ids = jnp.zeros((batch, tok_len), dtype=jnp.int32)
@@ -210,7 +214,7 @@ def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
         modules, params, lcm_config=LCMConfig(num_inference_steps=2),
         compute_dtype=compute_dtype,
     )
-    knobs = (dtype_name, fast_snake, pallas_max, stage_conv, int8_min)
+    knobs = (dtype_name, fast_snake, pallas_max, stage_conv, int8_min, fuse_text)
     return pipe, clap_ids, t5_ids, knobs
 
 
