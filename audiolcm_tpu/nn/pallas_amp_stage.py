@@ -304,6 +304,71 @@ def stack_conv_weight_m(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(w, (0, 2, 1)).reshape(k * cout, cin)
 
 
+def _roll_lanes(x: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """pltpu.roll along the lane axis for any dtype. Mosaic only implements
+    rotates for 32-bit data ("Rotate with non-32-bit data"), so 16-bit
+    arrays round-trip through f32 — bit-exact, since no arithmetic happens,
+    and a handful of VPU converts per conv (~us) against the MXU win."""
+    if x.dtype == jnp.float32:
+        return pltpu.roll(x, shift, axis=1)
+    return pltpu.roll(x.astype(jnp.float32), shift, axis=1).astype(x.dtype)
+
+
+def valid_conv_cl_kstack(x: jnp.ndarray, wk: jnp.ndarray, bias: jnp.ndarray,
+                         dilation: int) -> jnp.ndarray:
+    """(Cp, Lw) x wk (Cp, k*Cp) -> (Cp, Lw - (k-1)*d): the conv as ONE dot
+    with K = k*Cp instead of k dots with K = C.
+
+    Why: at the narrow stages the per-tap dots run at K = M = C, filling a
+    few % of the MXU (xplane round 2: ~27 of 41 ms in the C=24 stage kernel).
+    K is the MXU's accumulation-depth axis, so K-stacking the taps raises
+    utilization ~k-fold on that axis while M stays C. Round 2's attempt at
+    this died on HOW the (k*C, L) operand gets built: a concat of shifted
+    slices needs offset-normalizing relayouts that Mosaic either rejects
+    (`tpu.concatenate` lane-offset mismatch) or compiles for >2 h. The fix:
+    k-1 lane-ROTATES (pltpu.roll) normalize every block's offset to zero,
+    and padding C to the 16-row sublane tile (Cp) makes the stack/reshape
+    tile-aligned — both relayout-free. The rotate's wrapped tail columns are
+    never read (out_len <= Lw - j*d), and the Cp padding is free on the VPU
+    (a 24-row bf16 array already occupies 32 physical rows per vreg tile).
+
+    wk[co, j*Cp + ci] = w[j, ci, co], zero where Cp pads past C (see
+    stack_conv_weight_k) — so padded rows/cols contribute exact zeros.
+    Numerics: identical contraction terms to the tap path, one f32
+    accumulation in the MXU, the same single bf16 rounding point.
+    """
+    cp, lw = x.shape
+    k = wk.shape[1] // cp
+    out_len = lw - (k - 1) * dilation
+    rows = [x]
+    for j in range(1, k):
+        rows.append(_roll_lanes(x, (-j * dilation) % lw))
+    st = jnp.stack(rows, axis=0).reshape(k * cp, lw)
+    out_all = jax.lax.dot_general(
+        wk, st, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc = jax.lax.slice(out_all, (0, 0), (cp, out_len))
+    return (acc + bias[:, None]).astype(x.dtype)
+
+
+def stack_conv_weight_k(w: jnp.ndarray, cp: int) -> jnp.ndarray:
+    """(k, C_in, C_out) module-layout conv weight -> (Cp, k*Cp) K-stacked
+    weight for valid_conv_cl_kstack; rows/cols beyond C are zero."""
+    k, cin, cout = w.shape
+    wt = jnp.transpose(w, (0, 2, 1))  # (k, cout, cin)
+    if cp != cin or cp != cout:
+        wt = jnp.pad(wt, ((0, 0), (0, cp - cout), (0, cp - cin)))
+    return jnp.transpose(wt, (1, 0, 2)).reshape(cp, k * cp)
+
+
+def pad_channels(v: jnp.ndarray, cp: int, value: float) -> jnp.ndarray:
+    """Pad a per-channel vector (C,) to (Cp,) with a neutral value."""
+    c = v.shape[0]
+    if cp == c:
+        return v
+    return jnp.pad(v, (0, cp - c), constant_values=jnp.asarray(value, v.dtype))
+
+
 def _center_cl(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
     off = (x.shape[1] - out_len) // 2
     return jax.lax.slice_in_dim(x, off, off + out_len, axis=1)
@@ -314,9 +379,13 @@ def stage_valid_cl(x: jnp.ndarray, stage_params: List[dict],
                    fast: bool = False, accum: str = "bf16",
                    conv: str = "tap") -> jnp.ndarray:
     """(C, L) layout stage_valid; stage_params weights under 'w1t'/'w2t' are
-    (k, C_out, C_in) for conv="tap" or M-stacked (k*C_out, C_in) for
-    conv="mstack" (see stack_conv_weight_m / valid_conv_cl_mstack)."""
-    conv_fn = valid_conv_cl_mstack if conv == "mstack" else valid_conv_cl_tap
+    (k, C_out, C_in) for conv="tap", M-stacked (k*C_out, C_in) for
+    conv="mstack", or K-stacked (Cp, k*Cp) for conv="kstack" (in which case
+    x and every per-channel param arrive padded to Cp — see
+    valid_conv_cl_kstack; kstack only traces inside a Pallas kernel because
+    it uses pltpu.roll)."""
+    conv_fn = {"tap": valid_conv_cl_tap, "mstack": valid_conv_cl_mstack,
+               "kstack": valid_conv_cl_kstack}[conv]
     r_total = stage_radius(kernel_sizes, dilations)
     out_len = x.shape[1] - 2 * r_total
     # residual adds in the stream dtype; accum="f32" lifts the cross-resblock
@@ -352,7 +421,7 @@ def _compiler_params(n_grid_dims: int, accum: str, conv: str = "tap"):
     are fully parallel (independent tiles). The bf16 path compiles with
     Mosaic defaults (the round-1 configuration the 313.9x number was
     measured under)."""
-    if accum != "f32" and conv != "mstack":
+    if accum != "f32" and conv == "tap":
         # Mosaic defaults (the round-1 bf16/per-tap configuration)
         return None
     return pltpu.CompilerParams(
@@ -484,6 +553,9 @@ def fused_amp_stage_cl(
     time rides the full 128-lane axis (C=24 minormost wastes >3/4 lanes).
     The (B,T,C)<->(B,C,T) transposes happen once in XLA outside the kernel.
     """
+    if conv == "kstack":
+        raise ValueError("conv='kstack' needs the Cp-padded plumbing of "
+                         "fused_amp_stage_cl_batched (the production path)")
     b, t, c = x.shape
     r = stage_radius(kernel_sizes, dilations)
     halo = (r + 127) // 128 * 128
@@ -579,29 +651,45 @@ def fused_amp_stage_cl_batched(
     interpret: bool = False,
     fast: bool = False,
     accum: str = "bf16",  # fused-stage numerics knob (see module top)
-    conv: str = "tap",  # "tap" (round-1 per-tap dots) | "mstack" (one-dot M-stack)
+    conv: str = "tap",  # "tap" | "mstack" | "kstack" (see valid_conv_cl_*)
 ) -> jnp.ndarray:
     """fused_amp_stage_cl with a single 2D-grid pallas_call over
     (batch, tiles) instead of a per-batch Python loop of kernels — one
     dispatch for the whole stage, and the grid exposes batch-level
-    parallelism to the pipeline scheduler."""
+    parallelism to the pipeline scheduler.
+
+    conv="kstack" runs the kernel interior at Cp = C rounded up to the
+    16-row sublane tile: x and the per-channel params are zero/neutral-
+    padded outside the kernel (free — a 24-row bf16 block already occupies
+    32 physical rows), weights are K-stacked with zero pad rows/cols, and
+    the out spec stores only the real C rows. Pad rows stay exactly 0
+    through every op (FIR(0)=0, snake(0)=0 with beta padded to 1, conv pad
+    rows have all-zero weights and bias)."""
     b, t, c = x.shape
     r = stage_radius(kernel_sizes, dilations)
     halo = (r + 127) // 128 * 128
     if t % tile != 0 or t < 2 * tile:
         return _fallback(reference_fn, x, t, tile)
 
+    cp = -(-c // 16) * 16 if conv == "kstack" else c
+    # neutral pad values: alpha/bias 0, beta 1 (snake(0) stays 0, no 1/eps)
+    pad_val = {"a1": 0.0, "b1": 1.0, "c1b": 0.0, "a2": 0.0, "b2": 1.0, "c2b": 0.0}
     n_sub = len(dilations)
     flat: List[jnp.ndarray] = []
     for bi in range(len(kernel_sizes)):
         for si in range(n_sub):
             p = stage_params[bi]["sub"][si]
             for key in ("a1", "b1", "c1b", "a2", "b2", "c2b"):
-                flat.append(jnp.asarray(p[key])[:, None])  # (C, 1)
+                v = pad_channels(jnp.asarray(p[key]), cp, pad_val[key])
+                flat.append(v[:, None])  # (Cp, 1)
             if conv == "mstack":
                 # (k*C_out, C_in) M-stacked layout for the one-dot conv
                 flat.append(stack_conv_weight_m(jnp.asarray(p["w1"])))
                 flat.append(stack_conv_weight_m(jnp.asarray(p["w2"])))
+            elif conv == "kstack":
+                # (Cp, k*Cp) K-stacked layout for the one-dot conv
+                flat.append(stack_conv_weight_k(jnp.asarray(p["w1"]), cp))
+                flat.append(stack_conv_weight_k(jnp.asarray(p["w2"]), cp))
             else:
                 # (k, C_in, C_out) -> (k, C_out, C_in) per-tap layout
                 flat.append(jnp.transpose(jnp.asarray(p["w1"]), (0, 2, 1)))
@@ -635,16 +723,19 @@ def fused_amp_stage_cl_batched(
                 params.append({"sub": subs})
             y = stage_valid_cl(xblk, params, kernel_sizes, dilations, fast,
                                accum, conv)
-            out_ref[0, :, :] = _center_cl(y, tile).astype(out_ref.dtype)
+            yc = _center_cl(y, tile)
+            if cp != c:
+                yc = jax.lax.slice(yc, (0, 0), (c, tile))
+            out_ref[0, :, :] = yc.astype(out_ref.dtype)
 
         pl.run_scoped(
             body,
-            scratch=pltpu.VMEM((c, tile + 2 * halo), x.dtype),
+            scratch=pltpu.VMEM((cp, tile + 2 * halo), x.dtype),
             sem=pltpu.SemaphoreType.DMA(()),
         )
 
     x_ct = jnp.transpose(x, (0, 2, 1))
-    xp = jnp.pad(x_ct, ((0, 0), (0, 0), (halo, halo)))
+    xp = jnp.pad(x_ct, ((0, 0), (0, cp - c), (halo, halo)))
     out = pl.pallas_call(
         kernel,
         grid=(b, t // tile),

@@ -115,10 +115,11 @@ def test_fused_amp_stage_cl_matches_reference(rng):
     np.testing.assert_allclose(out, golden, atol=5e-4)
 
 
-@pytest.mark.parametrize("conv", ["tap", "mstack"])
+@pytest.mark.parametrize("conv", ["tap", "mstack", "kstack"])
 def test_fused_amp_stage_cl_batched_matches_reference(rng, conv):
-    """Both conv formulations (per-tap dots / one M-stacked dot + shifted
-    adds) must match the padded module path bit-comparably."""
+    """All conv formulations (per-tap dots / one M-stacked dot + shifted
+    adds / one K-stacked dot over rotate-normalized blocks at Cp-padded
+    channels) must match the padded module path bit-comparably."""
     from audiolcm_tpu.nn.pallas_amp_stage import fused_amp_stage_cl_batched
 
     kernel_sizes, dilations = (3, 7, 11), (1, 3, 5)
