@@ -81,6 +81,7 @@ def build_pipeline(
     pallas_stage_conv: str = "tap",
     int8_min_channels: int = 0,
     fuse_text: bool = True,
+    fuse_qkv: bool = False,
 ) -> AudioLCMPipeline:
     """Reference YAML + torch ckpts -> fully converted TPU pipeline.
 
@@ -103,6 +104,12 @@ def build_pipeline(
         import dataclasses as _dc
 
         cfg = _dc.replace(cfg, unet=cfg.unet.clone(use_flash=True))
+    if fuse_qkv and hasattr(cfg.unet, "fuse_qkv"):
+        # DiT Q/K/V as one matmul — numerics-preserving reparameterization
+        # (nn/attention.py:fuse_attention_params)
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, unet=cfg.unet.clone(fuse_qkv=True))
     voc_sd, voc_args = load_vocoder_dir(vocoder_path)
     vocoder = cfg_mod.build_vocoder_from_args(voc_args)
     if fast_snake:
@@ -187,6 +194,10 @@ def build_pipeline(
                        "bert": fuse_bert_params(params.clap_text["bert"])},
             t5=fuse_t5_params(params.t5),
         )
+    if fuse_qkv and hasattr(cfg.unet, "fuse_qkv"):
+        from audiolcm_tpu.nn.attention import fuse_attention_params
+
+        params = params.replace(dit=fuse_attention_params(params.dit))
     params = jax.tree.map(jnp.asarray, params)  # PipelineParams is a pytree
     if compute_dtype != jnp.float32:
         from audiolcm_tpu.pipeline import cast_params

@@ -77,15 +77,16 @@ class BasicTransformerBlock(nn.Module):
     dim: int
     num_heads: int
     use_flash: bool = False
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         head_dim = self.dim // self.num_heads
         x = x + MultiHeadSelfAttention(
-            self.num_heads, head_dim, self.use_flash, name="attn1"
+            self.num_heads, head_dim, self.use_flash, self.fuse_qkv, name="attn1"
         )(nn.LayerNorm(epsilon=1e-5, name="norm1")(x))
         x = x + MultiHeadSelfAttention(
-            self.num_heads, head_dim, self.use_flash, name="attn2"
+            self.num_heads, head_dim, self.use_flash, self.fuse_qkv, name="attn2"
         )(nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
         x = x + Conv1dGEGLUFeedForward(self.dim, name="ff")(
             nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
@@ -101,6 +102,7 @@ class TemporalTransformer(nn.Module):
     inner_depth: int = 1
     remat: bool = False
     use_flash: bool = False
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -111,7 +113,8 @@ class TemporalTransformer(nn.Module):
             block = BasicTransformerBlock
             if self.remat:
                 block = nn.remat(block)
-            h = block(self.dim, self.num_heads, self.use_flash, name=f"block_{i}")(h)
+            h = block(self.dim, self.num_heads, self.use_flash, self.fuse_qkv,
+                      name=f"block_{i}")(h)
         h = nn.Dense(
             self.dim,
             kernel_init=nn.initializers.zeros,
@@ -136,6 +139,9 @@ class ConcatDiT2MLP(nn.Module):
     max_len: int = 1000
     remat: bool = False
     use_flash: bool = False
+    # serving knob: Q/K/V as one matmul (numerics-preserving; params via
+    # nn.attention.fuse_attention_params)
+    fuse_qkv: bool = False
     # reference hard-codes out = in (concatDiT.py:253); overridable here so
     # the hybrid inpaint variant (x concat c_concat in, eps over z out) works
     out_channels: Optional[int] = None
@@ -184,7 +190,8 @@ class ConcatDiT2MLP(nn.Module):
         for i in range(self.depth):
             h = TemporalTransformer(
                 self.hidden_size, self.num_heads, remat=self.remat,
-                use_flash=self.use_flash, name=f"blocks_{i}"
+                use_flash=self.use_flash, fuse_qkv=self.fuse_qkv,
+                name=f"blocks_{i}"
             )(h)
 
         h = h[:, extra_len:, :]

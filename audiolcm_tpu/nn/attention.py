@@ -34,21 +34,34 @@ class MultiHeadSelfAttention(nn.Module):
     use_flash=True routes through the Pallas flash kernel
     (nn/pallas_attention.py) — TPU-compiled only; the default XLA einsum
     path is used for CPU tests and tiny shapes.
+
+    fuse_qkv=True runs the three projections as ONE (C, 3*inner) matmul
+    (params under "to_qkv"; see fuse_attention_params). The DiT's dots are
+    small (hidden 576 at a few hundred tokens), so fewer/wider dispatches
+    raise MXU utilization — same trick as the text towers' fuse_proj.
+    Output-column blocks of one matmul reduce over K identically to the
+    separate matmuls, so this is numerics-preserving.
     """
 
     num_heads: int
     head_dim: int
     use_flash: bool = False
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = self.num_heads * self.head_dim
-        dense = lambda name: nn.Dense(
-            inner, use_bias=False, kernel_init=nn.initializers.xavier_uniform(), name=name
+        dense = lambda name, width=None: nn.Dense(
+            width or inner, use_bias=False,
+            kernel_init=nn.initializers.xavier_uniform(), name=name,
         )
-        q = dense("to_q")(x)
-        k = dense("to_k")(x)
-        v = dense("to_v")(x)
+        if self.fuse_qkv:
+            qkv = dense("to_qkv", 3 * inner)(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = dense("to_q")(x)
+            k = dense("to_k")(x)
+            v = dense("to_v")(x)
 
         b, t, _ = x.shape
         split = lambda a: a.reshape(b, t, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
@@ -69,3 +82,28 @@ class MultiHeadSelfAttention(nn.Module):
         return nn.Dense(
             x.shape[-1], kernel_init=nn.initializers.xavier_uniform(), name="to_out"
         )(out)
+
+
+def fuse_attention_params(params):
+    """Standard param tree -> the fuse_qkv=True layout: wherever a subtree is
+    a MultiHeadSelfAttention (has to_q/to_k/to_v/to_out), the three bias-free
+    kernels concatenate along the output axis into one "to_qkv" Dense.
+    Numerics-preserving (see the class docstring); converted checkpoints
+    stay knob-agnostic by applying this transform at load time."""
+    keys = {"to_q", "to_k", "to_v", "to_out"}
+
+    def walk(node):
+        if isinstance(node, dict):
+            if keys <= set(node.keys()):
+                return {
+                    "to_qkv": {
+                        "kernel": jnp.concatenate(
+                            [node["to_q"]["kernel"], node["to_k"]["kernel"],
+                             node["to_v"]["kernel"]], axis=1)
+                    },
+                    "to_out": node["to_out"],
+                }
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)

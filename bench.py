@@ -176,8 +176,11 @@ def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
     # wider matmuls — numerics-preserving (see models/t5_encoder.py:
     # fuse_t5_params)
     fuse_text = os.environ.get("AUDIOLCM_FUSE_TEXT", "1") == "1"
+    # DiT Q/K/V as one matmul (numerics-preserving; see nn/attention.py:
+    # fuse_attention_params)
+    fuse_qkv = os.environ.get("AUDIOLCM_FUSE_QKV", "0") == "1"
     modules = PipelineModules(
-        dit=ConcatDiT2MLP(use_flash=use_flash),
+        dit=ConcatDiT2MLP(use_flash=use_flash, fuse_qkv=fuse_qkv),
         vae=AutoencoderKL1D(VAEConfig()),
         vocoder=BigVGAN(BigVGANConfig(fast_snake=fast_snake),
                         pallas_stage_max_channels=pallas_max,
@@ -214,7 +217,8 @@ def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
         modules, params, lcm_config=LCMConfig(num_inference_steps=2),
         compute_dtype=compute_dtype,
     )
-    knobs = (dtype_name, fast_snake, pallas_max, stage_conv, int8_min, fuse_text)
+    knobs = (dtype_name, fast_snake, pallas_max, stage_conv, int8_min,
+             fuse_text, fuse_qkv)
     return pipe, clap_ids, t5_ids, knobs
 
 
