@@ -347,6 +347,25 @@ class BigVGAN(nn.Module):
             x = acc / num_kernels
             if cf:
                 x = jnp.transpose(x, (0, 2, 1))
+        # Tail (act_post -> conv_post k7 -> tanh) over the LONGEST stream of
+        # the net (T = 256*mel_T): at the final C=24 the channels-last FIRs
+        # fill 19% of the lanes; the channels-first math (same modules'
+        # param trees, same composition as the stage bodies) measured 1.76x —
+        # 6.05 -> 3.44 ms b8 10 s bf16 incl. the transpose
+        # (tools/bench_post.py). Same width dispatch rule as the stages.
+        ch_final = x.shape[-1]
+        if cfg.resblock == "1" and ch_final <= self.cf_max_channels:
+            from audiolcm_tpu.nn.resample_cf import alias_free_snake_cf, conv1d_cf
+
+            single = cfg.activation != "snakebeta"
+            a_post, b_post = _SnakeParams(
+                cfg.snake_logscale, single, name="act_post"
+            )(ch_final)
+            w_post, cb_post = _ConvParams(1, 7, name="conv_post")(ch_final)
+            h = jnp.transpose(x, (0, 2, 1))
+            h = alias_free_snake_cf(h, a_post, b_post, fast=cfg.fast_snake)
+            h = conv1d_cf(h, w_post.astype(x.dtype), cb_post.astype(x.dtype), 1)
+            return jnp.tanh(h)[:, 0, :]
         act_cls = SnakeBeta if cfg.activation == "snakebeta" else Snake
         x = _alias_free(
             x, act_cls(cfg.snake_logscale, fast=cfg.fast_snake, name="act_post")
