@@ -98,7 +98,13 @@ def build_pipeline(
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     if use_flash is None:
-        use_flash = on_tpu
+        # Measured on v5e at the production DiT shape (CFG-doubled b16,
+        # seq 467, head_dim 72): XLA einsum attention 20.06 ms/forward vs
+        # the Pallas flash kernel's 24.33 ms (tools/bench_dit.py ab) — the
+        # 72/128 lane fill of the d axis costs more than einsum's logits
+        # traffic at seq<=467. Flash remains an opt-in knob for longer
+        # sequences (use_flash=True).
+        use_flash = False
     cfg = cfg_mod.parse_diffusion_config(cfg_mod.load_yaml(config_path))
     if use_flash and hasattr(cfg.unet, "use_flash"):
         import dataclasses as _dc

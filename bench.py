@@ -152,10 +152,14 @@ def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
         PipelineModules,
         PipelineParams,
     )
-    # serving config: bf16 weights/activations, Pallas flash attention
+    # serving config: bf16 weights/activations, XLA einsum attention
     dtype_name = os.environ.get("AUDIOLCM_BENCH_DTYPE", "bfloat16")
     compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    use_flash = jax.default_backend() == "tpu"
+    # XLA einsum attention beats the Pallas flash kernel at the production
+    # DiT shape (20.06 vs 24.33 ms/forward, tools/bench_dit.py ab): head_dim
+    # 72 fills 72/128 lanes in the flash kernel while seq 467 keeps einsum's
+    # logits cheap. AUDIOLCM_FLASH=1 opts back in (longer sequences).
+    use_flash = os.environ.get("AUDIOLCM_FLASH", "0") == "1"
 
     # fast_snake: polynomial cos in the vocoder snakes — error (<5e-7) is far
     # below the bf16 serving output resolution (tested); set =0 for exact cos

@@ -11,7 +11,11 @@ tests/test_dit_fuse.py).
 Benches ONE CFG-doubled production forward (b16, latent 312, ctx 154,
 bf16, flash attention), variants:
 
-    python tools/bench_dit.py [std|fused|noflash|both|all]
+    python tools/bench_dit.py [std|fused|noflash|both|all|ab]
+
+ab = std -> noflash -> std again in ONE process (drift-checked A/B; the
+tunnel's external timings fluctuate run-to-run, so cross-process numbers
+are only trustworthy to ~10%).
 
 noflash swaps the Pallas flash kernel for the XLA einsum attention — at
 seq 467 / head_dim 72 the flash kernel's d-axis fills 72/128 lanes, while
@@ -64,6 +68,22 @@ def main():
     std = ConcatDiT2MLP(use_flash=on_tpu)
     params = std.init(rng, x[:1], t[:1], ctx[:1], w[:1])["params"]
     params = jax.tree.map(lambda a: a.astype(dtype), params)
+
+    if mode == "ab":
+        fn_std = jax.jit(lambda p, *a: std.apply({"params": p}, *a))
+        nof = ConcatDiT2MLP(use_flash=False)
+        fn_nof = jax.jit(lambda p, *a: nof.apply({"params": p}, *a))
+        s1 = timeit(fn_std, params, x, t, ctx, w) * 1e3
+        n1 = timeit(fn_nof, params, x, t, ctx, w) * 1e3
+        s2 = timeit(fn_std, params, x, t, ctx, w) * 1e3
+        print(f"  flash  : {s1:8.3f} / {s2:8.3f} ms (drift "
+              f"{abs(s2 - s1) / s1 * 100:.1f}%)")
+        print(f"  noflash: {n1:8.3f} ms")
+        s = min(s1, s2)
+        better = "NOFLASH" if n1 < s else "flash"
+        print(f"verdict: {better} ({s / n1:.3f}x, 2-step delta "
+              f"~{2 * (s - n1):.2f} ms)")
+        return
 
     results = {}
     if mode in ("std", "both", "all"):
