@@ -282,10 +282,19 @@ def main():
         else:
             raise
 
-    iters = 5
+    # Steady-state throughput: queue `iters` executions back-to-back and
+    # force one scalar at the end. Keys are materialized BEFORE the timed
+    # region (each PRNGKey(i) is its own tiny dispatch — on the tunneled
+    # runtime that serializes ~ms of RPC into the loop), and the iteration
+    # count amortizes the single scalar-fetch roundtrip: at 5 iters the
+    # tunnel overhead charged ~9 ms/iter vs the xplane-measured 233.5 ms
+    # device busy (tools/xplane_timeline.py).
+    iters = int(os.environ.get("AUDIOLCM_BENCH_ITERS", "20"))
+    keys = [jax.random.PRNGKey(i) for i in range(iters)]
+    jax.block_until_ready(keys)
     start = time.perf_counter()
     for i in range(iters):
-        wav, _ = gen(jax.random.PRNGKey(i))
+        wav, _ = gen(keys[i])
     # device executes programs in order: forcing the last iteration's value
     # bounds the wall-clock of all of them
     force(wav)

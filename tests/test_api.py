@@ -193,3 +193,13 @@ def test_build_pipeline_serving_flags(synthetic_ckpt):
     assert pipe.compute_dtype == jnp.bfloat16
     leaves = [l for l in jax.tree.leaves(pipe.params) if hasattr(l, "dtype")]
     assert any(l.dtype == jnp.bfloat16 for l in leaves)
+
+
+def test_build_pipeline_default_attention_is_einsum(synthetic_ckpt):
+    """The serving default is the XLA einsum attention on every backend:
+    at the production DiT shape (seq 467, head_dim 72) it measured 1.21x
+    faster than the Pallas flash kernel (tools/bench_dit.py ab, DESIGN.md
+    round-3 verdicts). Flash is opt-in for longer sequences."""
+    cfg_path, ckpt_path, voc_dir = synthetic_ckpt
+    pipe = build_pipeline(cfg_path, ckpt_path, voc_dir)
+    assert pipe.modules.dit.use_flash is False
