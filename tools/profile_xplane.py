@@ -26,17 +26,27 @@ TRACE_DIR = "/tmp/xplane_prof"
 # jax names fusions after the jaxpr eqn names inside, which carry the flax
 # module scope (e.g. "vocoder/resblock_4_0/...", "dit/blocks_3/...").
 STAGE_PATTERNS = [
-    ("vocoder_pallas_stage", r"amp_stage|fused_amp"),
+    # scope-name hits first (few fusions keep them) ...
+    ("vocoder_pallas_stage", r"amp_stage|fused_amp|pallas_stage"),
     ("vocoder_ups", r"ups_\d"),
-    ("vocoder_resblock_wide", r"resblock_[012]_"),
-    ("vocoder_resblock_192", r"resblock_3_"),
-    ("vocoder_resblock_96", r"resblock_4_"),
-    ("vocoder_resblock_narrow", r"resblock_[56]_"),
-    ("vocoder_other", r"vocoder|conv_pre|conv_post|act_post|snake"),
-    ("dit_attn", r"attention|flash"),
+    ("dit_scan", r"^%?while"),
     ("dit", r"dit|blocks_\d|geglu|conv_ff"),
-    ("vae", r"vae|decoder|encoder"),
-    ("text", r"bert|t5|clap|embed"),
+    ("vae", r"vae\.|autoencoder"),
+    ("text", r"bert|t5_|clap|flan"),
+    # ... then shape signatures (XLA fusions drop the flax scopes; the HLO
+    # text in the event name still carries operand shapes, which are unique
+    # per pipeline stage at the production config: DiT seq=467, vocoder
+    # stages T=2496*2^k at C=768/384/192/96/48/24, VAE T_lat=312 C=20 /
+    # mel 624x80, text towers tok=77).
+    ("dit", r",467,|467,576|467,4608|467,2304|467,1728"),
+    ("vocoder_stage_768", r"2496,768|768,159744|8,768,2496"),
+    ("vocoder_stage_384", r"4992,384|9984,384"),
+    ("vocoder_stage_192", r"9984,192|19968,192"),
+    ("vocoder_stage_96", r"19968,96|39936,96"),
+    ("vocoder_narrow_or_tail", r"79872|159744|39936,48|79872,24"),
+    ("vae", r"312,20|624,80|312,1536|624,768|312,768"),
+    ("text", r"8,77,|77,1024|77,768|154,"),
+    ("vocoder_other", r"vocoder|conv_pre|conv_post|act_post|snake"),
 ]
 
 
@@ -97,6 +107,13 @@ def aggregate(path: str, top_n: int):
         if not meta:
             meta = {k: v.name for k, v in plane.event_metadata.items()}
         for line in plane.lines:
+            # Count ONLY the synchronous compute line: the 'XLA Modules'
+            # line is the whole-program envelope (double-counts everything
+            # inside) and 'Async XLA Ops' are overlapped DMA copies that
+            # mostly hide under compute (see tools/xplane_timeline.py for
+            # the busy/idle view of those lines).
+            if line.name != "XLA Ops":
+                continue
             for ev in line.events:
                 name = meta.get(ev.metadata_id, str(ev.metadata_id))
                 per_op[name] += ev.duration_ps / 1e9  # -> ms
