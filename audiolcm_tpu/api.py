@@ -82,18 +82,34 @@ def build_pipeline(
     int8_min_channels: int = 0,
     fuse_text: bool = True,
     fuse_qkv: bool = False,
+    profile: Optional[str] = None,
 ) -> AudioLCMPipeline:
     """Reference YAML + torch ckpts -> fully converted TPU pipeline.
 
-    compute_dtype/use_flash default to the serving config on TPU
-    (bf16 weights+activations, Pallas flash attention) and to f32/XLA
-    attention elsewhere; pass explicit values to override. fast_snake=True
+    compute_dtype defaults to bf16 weights+activations on TPU and f32
+    elsewhere. use_flash defaults to False everywhere: XLA einsum attention
+    beats the Pallas flash kernel at the production DiT shape (20.06 vs
+    24.33 ms/forward at seq 467, head_dim 72 — tools/bench_dit.py ab);
+    use_flash=True is the opt-in for longer sequences. fast_snake=True
     swaps the vocoder snakes' cos for a polynomial (error below bf16
     output resolution; see nn/snake.py) — opt-in, breaks bit-parity.
-    pallas_stage_max_channels=24 runs the vocoder's narrowest stages as one
+    pallas_stage_max_channels=48 runs the vocoder's narrowest stages as one
     fused Pallas kernel per stage (2.4x on those stages; ~0.3%-of-scale mean
     bf16 error vs 0.09% for the XLA path) — opt-in, long first compile.
+
+    profile="serving" applies the benched 339x-realtime knob set in one
+    call (fast_snake=True, pallas_stage_max_channels=48; everything else at
+    its measured default) so users can't accidentally benchmark the
+    bit-parity config; profile=None (default) keeps bit-parity defaults.
     """
+    if profile is not None:
+        if profile == "serving":
+            fast_snake = True
+            if pallas_stage_max_channels == 0:
+                pallas_stage_max_channels = 48
+        elif profile != "parity":
+            raise ValueError(f"unknown profile {profile!r} "
+                             "(expected 'serving' or 'parity')")
     on_tpu = jax.default_backend() == "tpu"
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32

@@ -15,8 +15,11 @@ from bisect import bisect_left
 from typing import Sequence
 
 # Multiples of 4 spanning the reference's [64, 1248] clamp range.
-# 312/624 are the 5s/10s production lengths; 1248 = 20 s max.
-DEFAULT_MEL_BUCKETS: tuple = (64, 128, 192, 256, 312, 384, 448, 512, 624, 752, 880, 1000, 1248)
+# 312/624 are the 5s/10s production lengths; 1248 = 20 s max. 628 exists
+# because anylen 10 s clips produce 625 mel frames (62.5 fps cap,
+# `mel_spec.py:194`) — without it they'd pad 20% up to 752 (measured on
+# musiccap.tsv: 99.9% of rows land on 628).
+DEFAULT_MEL_BUCKETS: tuple = (64, 128, 192, 256, 312, 384, 448, 512, 624, 628, 752, 880, 1000, 1248)
 
 PAD_VALUE = -5.0
 MIN_LEN = 64

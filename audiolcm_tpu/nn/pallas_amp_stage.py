@@ -702,11 +702,11 @@ def fused_amp_stage_cl_batched(
         it = pl.program_id(1)
 
         def body(scratch, sem):
-            cp = pltpu.make_async_copy(
+            dma = pltpu.make_async_copy(
                 x_hbm.at[ib, :, pl.ds(it * tile, tile + 2 * halo)], scratch, sem
             )
-            cp.start()
-            cp.wait()
+            dma.start()
+            dma.wait()
             xblk = scratch[:]
 
             params = []

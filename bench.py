@@ -226,7 +226,171 @@ def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
     return pipe, clap_ids, t5_ids, knobs
 
 
+# ---------------------------------------------------------------------------
+# Bench configs (BASELINE.md matrix). `python bench.py` (the driver's
+# invocation) runs the default b8/10 s serving config and prints the same
+# single JSON line as always; AUDIOLCM_BENCH_CONFIG (or argv[1]) selects the
+# other BASELINE rows:
+#   b8_10s    — default: batch 8, 10 s clips (BASELINE config #2 shape)
+#   b1_10s    — batch-1 single-prompt latency (config #1)
+#   b8_20s    — the 1248-mel/20 s long-form bucket
+#   musiccaps — the 628-mel bucket 99.9% of musiccap.tsv lands on (config #5)
+#   vae       — 1D-VAE round-trip mel->latent->mel->wav (config #3)
+#   teacher   — 100-step DDIM teacher path, batch-doubled CFG (config #4)
+# ---------------------------------------------------------------------------
+
+def _timed_queued(gen, iters):
+    """Queue `iters` executions and force one scalar at the end (the only
+    reliable completion barrier on the tunneled axon runtime)."""
+    keys = [jax.random.PRNGKey(i) for i in range(iters)]
+    jax.block_until_ready(keys)
+    start = time.perf_counter()
+    wav = None
+    for i in range(iters):
+        wav = gen(keys[i])
+    float(jnp.sum(wav))
+    return time.perf_counter() - start, wav
+
+
+def _emit(metric, value, unit, vs_baseline, **extra):
+    rec = {"metric": metric, "value": value, "unit": unit,
+           "vs_baseline": vs_baseline}
+    if extra:
+        rec["extra"] = extra
+    print(json.dumps(rec))
+
+
+def bench_generate(batch, latent_len, metric, iters=None, latency=False):
+    """Generate-path RTF at an arbitrary (batch, bucket) point."""
+    pipe, clap_ids, t5_ids, knobs = build_bench_pipeline(
+        batch=batch, latent_len=latent_len)
+    rng = jax.random.PRNGKey(0)
+    from audiolcm_tpu.aot import load_or_compile
+
+    aot_args = (pipe.params, rng, clap_ids, t5_ids, latent_len)
+    aot_extra = ("bench",) + knobs + (batch, latent_len, 77)
+    gen_exec, how = load_or_compile(
+        "bench_generate" if (batch, latent_len) == (8, 312)
+        else f"bench_generate_b{batch}_l{latent_len}",
+        pipe._generate_ids_jit, aot_args, extra=aot_extra)
+    gen = lambda r: gen_exec(pipe.params, r, clap_ids, t5_ids)[0]
+    wav = gen(rng)
+    float(jnp.sum(wav))  # warm
+    clip_sec = wav.shape[-1] / 16000.0
+    iters = iters or int(os.environ.get("AUDIOLCM_BENCH_ITERS", "20"))
+    if latency:
+        # per-call forced latency: each iteration waits for its value. The
+        # tunnel charges a host roundtrip per fetch, so the median over
+        # `iters` calls is reported alongside the queued throughput.
+        lats = []
+        for i in range(iters):
+            k = jax.random.PRNGKey(i)
+            jax.block_until_ready(k)
+            t0 = time.perf_counter()
+            float(jnp.sum(gen(k)))
+            lats.append(time.perf_counter() - t0)
+        lats.sort()
+        med = lats[len(lats) // 2]
+        elapsed, _ = _timed_queued(gen, iters)
+        rtf = iters * batch * clip_sec / elapsed
+        _emit(metric, round(med * 1000.0, 2), "ms_per_clip",
+              round(clip_sec * 1000.0 / med / 10.0, 3),
+              queued_x_realtime=round(rtf, 2), batch=batch,
+              latent_len=latent_len, aot=how)
+    else:
+        elapsed, _ = _timed_queued(gen, iters)
+        rtf = iters * batch * clip_sec / elapsed
+        _emit(metric, round(rtf, 2), "x_realtime", round(rtf / 10.0, 3),
+              ms_per_batch=round(1000.0 * elapsed / iters, 2), batch=batch,
+              latent_len=latent_len, clip_sec=clip_sec, aot=how)
+
+
+def bench_vae_roundtrip():
+    """BASELINE config #3: mel -> VAE encode -> sample -> decode -> BigVGAN
+    (`scripts/reconstruct_audio.py:115-122` parity shape, b8 10 s)."""
+    batch, mel_len = 8, 624
+    pipe, _clap, _t5, knobs = build_bench_pipeline(batch=batch)
+    from audiolcm_tpu.aot import load_or_compile
+    from audiolcm_tpu.models.vae1d import AutoencoderKL1D, DiagonalGaussian
+
+    vae, vocoder = pipe.modules.vae, pipe.modules.vocoder
+    dtype = pipe.compute_dtype
+
+    def roundtrip(params, mel, rng):
+        moments = vae.apply({"params": params.vae}, mel.astype(dtype),
+                            method=AutoencoderKL1D.encode_moments)
+        z = DiagonalGaussian(moments).sample(rng)
+        recon = vae.apply({"params": params.vae}, z.astype(dtype),
+                          method=AutoencoderKL1D.decode)
+        wav = vocoder.apply({"params": params.vocoder}, recon)
+        return wav.astype(jnp.float32)
+
+    mel = jnp.zeros((batch, mel_len, 80), dtype)
+    rng = jax.random.PRNGKey(0)
+    rt_exec, how = load_or_compile(
+        "bench_vae_roundtrip", jax.jit(roundtrip),
+        (pipe.params, mel, rng), extra=("vae",) + knobs + (batch, mel_len))
+    gen = lambda r: rt_exec(pipe.params, mel, r)
+    wav = gen(rng)
+    float(jnp.sum(wav))
+    clip_sec = wav.shape[-1] / 16000.0
+    iters = int(os.environ.get("AUDIOLCM_BENCH_ITERS", "20"))
+    elapsed, _ = _timed_queued(gen, iters)
+    rtf = iters * batch * clip_sec / elapsed
+    _emit("vae_roundtrip_audio_sec_per_sec_b8", round(rtf, 2), "x_realtime",
+          round(rtf / 10.0, 3), ms_per_batch=round(1000 * elapsed / iters, 2),
+          aot=how)
+
+
+def bench_teacher():
+    """BASELINE config #4: 100-step DDIM teacher sampling (batch-doubled CFG,
+    `scripts/txt2audio_for_2cap.py:227-229`) + decode + vocode, b8 10 s."""
+    batch, latent_len = 8, 312
+    pipe, _clap, _t5, knobs = build_bench_pipeline(batch=batch)
+    from audiolcm_tpu.aot import load_or_compile
+
+    ctx = jnp.zeros((batch, 154, 1024), pipe.compute_dtype)
+    uncond = jnp.zeros((1, 154, 1024), pipe.compute_dtype)
+    rng = jax.random.PRNGKey(0)
+    fn = jax.jit(pipe._generate_teacher, static_argnums=(4, 5, 6, 7))
+    t_exec, how = load_or_compile(
+        "bench_teacher", fn,
+        (pipe.params, rng, ctx, uncond, latent_len, 100, 5.0, False),
+        extra=("teacher",) + knobs + (batch, latent_len, 100))
+    gen = lambda r: t_exec(pipe.params, r, ctx, uncond)[0]
+    wav = gen(rng)
+    float(jnp.sum(wav))
+    clip_sec = wav.shape[-1] / 16000.0
+    iters = int(os.environ.get("AUDIOLCM_BENCH_ITERS", "5"))
+    elapsed, _ = _timed_queued(gen, iters)
+    rtf = iters * batch * clip_sec / elapsed
+    _emit("teacher_ddim100_audio_sec_per_sec_b8", round(rtf, 2), "x_realtime",
+          round(rtf / 10.0, 3), ms_per_batch=round(1000 * elapsed / iters, 2),
+          aot=how)
+
+
 def main():
+    cfg = os.environ.get("AUDIOLCM_BENCH_CONFIG", "")
+    if len(sys.argv) > 1 and not sys.argv[1].startswith("-"):
+        cfg = sys.argv[1]
+    if cfg in ("", "b8_10s", "default"):
+        pass  # fall through to the driver's default path below
+    elif cfg == "b1_10s":
+        return bench_generate(1, 312, "latency_ms_per_clip_2step_lcm_b1",
+                              latency=True)
+    elif cfg == "b8_20s":
+        return bench_generate(8, 624,
+                              "audio_sec_generated_per_sec_per_chip_2step_lcm_b8_20s")
+    elif cfg == "musiccaps":
+        return bench_generate(8, 314,
+                              "audio_sec_generated_per_sec_per_chip_2step_lcm_b8_musiccaps")
+    elif cfg == "vae":
+        return bench_vae_roundtrip()
+    elif cfg == "teacher":
+        return bench_teacher()
+    else:
+        raise SystemExit(f"bench: unknown config {cfg!r}")
+
     batch, latent_len, tok_len = 8, 312, 77  # 10 s: mel 624, wav 159744 @16k
     pipe, clap_ids, t5_ids, knobs = build_bench_pipeline(batch, latent_len, tok_len)
     rng = jax.random.PRNGKey(0)

@@ -22,32 +22,58 @@ import jax.numpy as jnp
 
 TRACE_DIR = "/tmp/xplane_prof"
 
-# op-name substring -> stage bucket (checked in order; first hit wins).
-# jax names fusions after the jaxpr eqn names inside, which carry the flax
-# module scope (e.g. "vocoder/resblock_4_0/...", "dit/blocks_3/...").
-STAGE_PATTERNS = [
-    # scope-name hits first (few fusions keep them) ...
-    ("vocoder_pallas_stage", r"amp_stage|fused_amp|pallas_stage"),
-    ("vocoder_ups", r"ups_\d"),
-    ("dit_scan", r"^%?while"),
-    ("dit", r"dit|blocks_\d|geglu|conv_ff"),
-    ("vae", r"vae\.|autoencoder"),
-    ("text", r"bert|t5_|clap|flan"),
-    # ... then shape signatures (XLA fusions drop the flax scopes; the HLO
-    # text in the event name still carries operand shapes, which are unique
-    # per pipeline stage at the production config: DiT seq=467, vocoder
-    # stages T=2496*2^k at C=768/384/192/96/48/24, VAE T_lat=312 C=20 /
-    # mel 624x80, text towers tok=77).
-    ("dit", r",467,|467,576|467,4608|467,2304|467,1728"),
-    ("vocoder_stage_768", r"2496,768|768,159744|8,768,2496"),
-    ("vocoder_stage_384", r"4992,384|9984,384"),
-    ("vocoder_stage_192", r"9984,192|19968,192"),
-    ("vocoder_stage_96", r"19968,96|39936,96"),
-    ("vocoder_narrow_or_tail", r"79872|159744|39936,48|79872,24"),
-    ("vae", r"312,20|624,80|312,1536|624,768|312,768"),
-    ("text", r"8,77,|77,1024|77,768|154,"),
-    ("vocoder_other", r"vocoder|conv_pre|conv_post|act_post|snake"),
-]
+# Profiled configuration (env-overridable so the shape signatures below
+# track the actual run instead of silently misattributing at non-default
+# batch/duration — ADVICE r3 #3).
+BATCH = int(os.environ.get("AUDIOLCM_PROF_BATCH", "8"))
+LATENT = int(os.environ.get("AUDIOLCM_PROF_LATENT", "312"))
+TOK = int(os.environ.get("AUDIOLCM_PROF_TOK", "77"))
+
+
+def build_stage_patterns(batch: int, latent: int, tok: int):
+    """op-name substring -> stage bucket (checked in order; first hit wins).
+
+    jax names fusions after the jaxpr eqn names inside, which carry the flax
+    module scope (e.g. "vocoder/resblock_4_0/..."); XLA fusions that drop
+    the scope still carry operand shapes in the HLO text, which are unique
+    per pipeline stage. Shape signatures are DERIVED from the profiled
+    config: DiT seq = 1 + 2*tok + latent; vocoder stage k sees
+    T = 2*latent*prod(rates[:k+1]) at C = 1536/2^(k+1) (rates 4,4,2,2,2,2);
+    VAE T_lat=latent C=20 / mel (2*latent)x80; text towers tok tokens.
+    """
+    seq = 1 + 2 * tok + latent
+    mel = 2 * latent
+    rates = (4, 4, 2, 2, 2, 2)
+    t_k, chans, ts = mel, [], []
+    for r in rates:
+        t_k *= r
+        ts.append(t_k)
+    chans = [768, 384, 192, 96, 48, 24]
+    wav = ts[-1]
+    pats = [
+        # scope-name hits first (few fusions keep them) ...
+        ("vocoder_pallas_stage", r"amp_stage|fused_amp|pallas_stage"),
+        ("vocoder_ups", r"ups_\d"),
+        ("dit_scan", r"^%?while"),
+        ("dit", r"dit|blocks_\d|geglu|conv_ff"),
+        ("vae", r"vae\.|autoencoder"),
+        ("text", r"bert|t5_|clap|flan"),
+        # ... then the derived shape signatures
+        ("dit", rf",{seq},|{seq},576|{seq},4608|{seq},2304|{seq},1728"),
+        ("vocoder_stage_768", rf"{ts[0]},768|768,{wav}|{batch},768,{ts[0]}"),
+        ("vocoder_stage_384", rf"{ts[0] * 2},384|{ts[1]},384"),
+        ("vocoder_stage_192", rf"{ts[1]},192|{ts[2]},192"),
+        ("vocoder_stage_96", rf"{ts[2]},96|{ts[3]},96"),
+        ("vocoder_narrow_or_tail",
+         rf"{ts[4]}|{ts[5]}|{ts[3]},48|{ts[4]},24"),
+        ("vae", rf"{latent},20|{mel},80|{latent},1536|{mel},768|{latent},768"),
+        ("text", rf"{batch},{tok},|{tok},1024|{tok},768|{2 * tok},"),
+        ("vocoder_other", r"vocoder|conv_pre|conv_post|act_post|snake"),
+    ]
+    return pats
+
+
+STAGE_PATTERNS = build_stage_patterns(BATCH, LATENT, TOK)
 
 
 def classify(name: str) -> str:
@@ -62,12 +88,12 @@ def capture() -> str:
     from bench import build_bench_pipeline
     from audiolcm_tpu.aot import load_or_compile
 
-    pipe, clap_ids, t5_ids, knobs = build_bench_pipeline()
+    pipe, clap_ids, t5_ids, knobs = build_bench_pipeline(BATCH, LATENT, TOK)
     rng = jax.random.PRNGKey(0)
     gen_exec, how = load_or_compile(
         "bench_generate", pipe._generate_ids_jit,
-        (pipe.params, rng, clap_ids, t5_ids, 312),
-        extra=("bench",) + knobs + (8, 312, 77),
+        (pipe.params, rng, clap_ids, t5_ids, LATENT),
+        extra=("bench",) + knobs + (BATCH, LATENT, TOK),
     )
     print(f"generate program: {how}", file=sys.stderr)
     wav, _ = gen_exec(pipe.params, rng, clap_ids, t5_ids)
@@ -124,9 +150,16 @@ def aggregate(path: str, top_n: int):
     for name, ms in per_op.items():
         stage_ms[classify(name)] += ms
 
-    print(f"\n== stage totals (device, one b8 iteration; {total:.1f} ms summed) ==")
+    print(f"\n== stage totals (device, one b{BATCH} iteration; "
+          f"{total:.1f} ms summed) ==")
     for stage, ms in sorted(stage_ms.items(), key=lambda kv: -kv[1]):
         print(f"  {stage:26s} {ms:9.2f} ms  ({100 * ms / max(total, 1e-9):5.1f}%)")
+    matched = total - stage_ms.get("other", 0.0)
+    if total > 0 and matched / total < 0.7:
+        print(f"  WARNING: only {100 * matched / total:.0f}% of device time "
+              f"matched a stage pattern — shape signatures were derived for "
+              f"batch={BATCH} latent={LATENT} tok={TOK} "
+              f"(set AUDIOLCM_PROF_BATCH/LATENT/TOK to match the run)")
 
     print(f"\n== top {top_n} ops ==")
     for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:top_n]:
