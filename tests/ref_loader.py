@@ -1,0 +1,121 @@
+"""Import the PUBLIC reference repo's own torch modules for golden tests.
+
+VERDICT r3 weak #1: the existing golden tests re-derive the reference math
+in hand-written torch replicas — a shared misreading would pass both sides.
+Where the reference modules import without their heavy deps (lightning,
+omegaconf, librosa), we load the reference's OWN code (study/verify only;
+nothing is copied into the package) and assert the flax ports against it.
+
+Stubs installed only for the duration of the imports:
+- pytorch_lightning.LightningModule -> torch.nn.Module (the reference
+  subclasses it for trainer glue we never call)
+- omegaconf.OmegaConf               -> placeholder (used only by the
+  VocoderBigVGAN ckpt-dir wrapper)
+- librosa.filters.mel               -> delegate hook the test controls
+  (the filterbank itself is cross-checked separately against
+  transformers.audio_utils' independent slaney implementation)
+
+The stubs are popped from sys.modules after import so other tests'
+`pytest.importorskip("librosa")` still behaves correctly.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+from typing import Optional
+
+REF = "/root/reference"
+
+_ns: Optional[types.SimpleNamespace] = None
+
+# test-controllable delegate for librosa.filters.mel(sr, n_fft, n_mels,
+# fmin, fmax) — the reference binds the symbol at import time, so this
+# hook stays live after the stub module is popped.
+_mel_fn_hook = {"fn": None}
+
+
+def set_librosa_mel_fn(fn) -> None:
+    _mel_fn_hook["fn"] = fn
+
+
+def _stub_mel(*args, **kwargs):
+    if _mel_fn_hook["fn"] is None:
+        raise RuntimeError(
+            "reference librosa.filters.mel called before "
+            "ref_loader.set_librosa_mel_fn was given a filterbank")
+    return _mel_fn_hook["fn"](*args, **kwargs)
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REF)
+
+
+def load_reference() -> types.SimpleNamespace:
+    """Import the reference modules once; returns a namespace of them."""
+    global _ns
+    if _ns is not None:
+        return _ns
+    import torch.nn as nn
+
+    stubs = {}
+    pl = types.ModuleType("pytorch_lightning")
+    pl.LightningModule = nn.Module
+    stubs["pytorch_lightning"] = pl
+
+    oc = types.ModuleType("omegaconf")
+    oc.OmegaConf = type("OmegaConf", (), {})
+    stubs["omegaconf"] = oc
+
+    lb = types.ModuleType("librosa")
+    lbf = types.ModuleType("librosa.filters")
+    lbf.mel = _stub_mel
+    lb.filters = lbf
+    stubs["librosa"] = lb
+    stubs["librosa.filters"] = lbf
+
+    preexisting = {k for k in stubs if k in sys.modules}
+    assert not preexisting, f"real modules present, refusing to stub: {preexisting}"
+    sys.modules.update(stubs)
+
+    # end of sys.path: the reference's top-level names (ldm, vocoder, ...)
+    # must not shadow anything of ours
+    for p in (REF, os.path.join(REF, "vocoder")):
+        if p not in sys.path:
+            sys.path.append(p)
+
+    try:
+        import importlib
+
+        ns = types.SimpleNamespace(
+            bigvgan_models=importlib.import_module("vocoder.bigvgan.models"),
+            activations=importlib.import_module("vocoder.bigvgan.activations"),
+            alias_free=importlib.import_module(
+                "vocoder.bigvgan.alias_free_torch"),
+            alias_resample=importlib.import_module(
+                "vocoder.bigvgan.alias_free_torch.resample"),
+            alias_filter=importlib.import_module(
+                "vocoder.bigvgan.alias_free_torch.filter"),
+            nat_mel=importlib.import_module("ldm.data.preprocess.NAT_mel"),
+            new_attention=importlib.import_module("ldm.modules.new_attention"),
+            concat_dit=importlib.import_module(
+                "ldm.modules.diffusionmodules.concatDiT"),
+            scheduling_lcm=importlib.import_module(
+                "ldm.models.diffusion.scheduling_lcm"),
+            ddim_solver=importlib.import_module(
+                "ldm.models.diffusion.ddim_solver"),
+            autoencoder1d=importlib.import_module("ldm.models.autoencoder1d"),
+            discriminator=importlib.import_module(
+                "ldm.modules.discriminator.model"),
+            ema=importlib.import_module("ldm.modules.ema"),
+            lr_scheduler=importlib.import_module("ldm.lr_scheduler"),
+            distributions=importlib.import_module(
+                "ldm.modules.distributions.distributions"),
+        )
+    finally:
+        for k in stubs:
+            sys.modules.pop(k, None)
+
+    _ns = ns
+    return ns

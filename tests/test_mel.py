@@ -60,6 +60,29 @@ def test_mel_frame_count_62_5_per_sec():
     assert out.shape == (1, 80, 625)
 
 
+def test_mel_filterbank_matches_transformers_slaney():
+    """Independent slaney-filterbank cross-check (VERDICT r3 weak #5).
+
+    librosa (what the reference calls, NAT_mel.py:54) isn't in this env;
+    transformers.audio_utils.mel_filter_bank is a separate widely-validated
+    implementation of the same slaney mel scale + normalization, so it
+    breaks the replica-circularity without the librosa dep. Checked at the
+    generation constants (fmin 0 / fmax 8000) and the BigVGAN training
+    variant (fmin 125 / fmax 7600)."""
+    from transformers.audio_utils import mel_filter_bank
+
+    for fmin, fmax in ((0.0, 8000.0), (125.0, 7600.0)):
+        cfg = MelConfig(fmin=fmin, fmax=fmax)
+        ours = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels,
+                              cfg.fmin, cfg.fmax)
+        theirs = mel_filter_bank(
+            num_frequency_bins=cfg.n_fft // 2 + 1, num_mel_filters=cfg.n_mels,
+            min_frequency=cfg.fmin, max_frequency=cfg.fmax,
+            sampling_rate=cfg.sample_rate, norm="slaney", mel_scale="slaney",
+        ).T
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
 def test_mel_filterbank_matches_librosa_if_available():
     librosa = pytest.importorskip("librosa")
     cfg = MelConfig()
