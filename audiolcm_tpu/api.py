@@ -237,6 +237,67 @@ def build_pipeline(
     )
 
 
+def _pipeline_knobs(pipe: AudioLCMPipeline) -> tuple:
+    """The config values that change the compiled generate program — part of
+    every AOT artifact key (aot.source_fingerprint hashes sources, not
+    instance knobs)."""
+    voc, dit = pipe.modules.vocoder, pipe.modules.dit
+    return (
+        jnp.dtype(pipe.compute_dtype).name,
+        pipe.lcm_config.num_inference_steps,
+        pipe.lcm_config.guidance_scale,
+        getattr(dit, "use_flash", False),
+        getattr(dit, "fuse_qkv", False),
+        0 if voc is None else getattr(voc, "pallas_stage_max_channels", 0),
+        False if voc is None else getattr(voc.config, "fast_snake", False),
+        "" if voc is None else getattr(voc, "pallas_stage_accum", ""),
+        "" if voc is None else getattr(voc, "pallas_stage_conv", ""),
+        0 if voc is None else getattr(voc, "int8_min_channels", 0),
+    )
+
+
+def prewarm_buckets(
+    pipeline: AudioLCMPipeline,
+    batch_sizes: Sequence[int] = (8,),
+    mel_buckets: Optional[Sequence[int]] = None,
+    tok_len: int = 77,
+) -> dict:
+    """AOT-compile (or load) the generate executable for every
+    (batch, mel-bucket) serving point and register it on the pipeline.
+
+    The duration lattice (data/buckets.py) quantizes variable-length
+    requests to a fixed set of shapes; this makes ALL of them servable warm:
+    each executable is persisted via audiolcm_tpu.aot, so the first prewarm
+    of a deployment pays the compiles once and every later process loads
+    binaries in seconds. The reference has no analogue (torch re-dispatches
+    eagerly per shape); this is the TPU-native answer to
+    `joinaudiodataset_anylen.py`'s any-length serving.
+
+    Returns {(batch, latent_len): "loaded"|"compiled"}.
+    """
+    from audiolcm_tpu.aot import load_or_compile
+    from audiolcm_tpu.data.buckets import DEFAULT_MEL_BUCKETS
+
+    mel_buckets = tuple(mel_buckets) if mel_buckets is not None else DEFAULT_MEL_BUCKETS
+    knobs = _pipeline_knobs(pipeline)
+    rng = jax.random.PRNGKey(0)
+    hows = {}
+    for b in batch_sizes:
+        clap_ids = jnp.zeros((b, tok_len), jnp.int32)
+        t5_ids = jnp.zeros((b, tok_len), jnp.int32)
+        for mel in mel_buckets:
+            latent = mel // 2
+            ex, how = load_or_compile(
+                f"serve_b{b}_l{latent}",
+                pipeline._generate_ids_jit,
+                (pipeline.params, rng, clap_ids, t5_ids, latent),
+                extra=("serve",) + knobs + (b, latent, tok_len),
+            )
+            pipeline._aot_execs[(b, latent)] = ex
+            hows[(b, latent)] = how
+    return hows
+
+
 def _write_wav(path: str, wav: np.ndarray, sample_rate: int = SAMPLE_RATE) -> None:
     from scipy.io import wavfile
 

@@ -15,11 +15,16 @@ from bisect import bisect_left
 from typing import Sequence
 
 # Multiples of 4 spanning the reference's [64, 1248] clamp range.
-# 312/624 are the 5s/10s production lengths; 1248 = 20 s max. 628 exists
+# 312/624 are the 5s/10s production lengths; 1248 = 20 s max. 640 exists
 # because anylen 10 s clips produce 625 mel frames (62.5 fps cap,
 # `mel_spec.py:194`) — without it they'd pad 20% up to 752 (measured on
-# musiccap.tsv: 99.9% of rows land on 628).
-DEFAULT_MEL_BUCKETS: tuple = (64, 128, 192, 256, 312, 384, 448, 512, 624, 628, 752, 880, 1000, 1248)
+# musiccap.tsv: 99.9% of rows land between 624 and 640). 640 rather than
+# the tight 628: 256*628 = 2^10*157 leaves the fused vocoder stages only
+# 512/1024-sample Pallas tiles (25-50% halo waste on 35% of device time),
+# while 640 = 2^7*5 tiles at 4096/8192 for a 2.4% padding cost. Every
+# lattice point keeps 256*B friendly to `_pick_stage_tile` (models/
+# bigvgan.py) — checked by tests/test_buckets.py.
+DEFAULT_MEL_BUCKETS: tuple = (64, 128, 192, 256, 312, 384, 448, 512, 624, 640, 752, 880, 1000, 1248)
 
 PAD_VALUE = -5.0
 MIN_LEN = 64

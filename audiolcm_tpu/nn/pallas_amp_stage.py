@@ -430,6 +430,30 @@ def _compiler_params(n_grid_dims: int, accum: str, conv: str = "tap"):
     )
 
 
+def _stitch_boundaries(out, x, reference_fn, strip: int, r: int):
+    """Overwrite the sequence-edge strips of the fused kernel's output with
+    the unfused padded path (reference_fn).
+
+    Why: the kernel computes valid math over a once-zero-padded input, while
+    the reference zero-pads at EVERY conv/FIR — the two differ only within
+    r samples of each sequence end. `strip` (= the lane-aligned halo) is
+    overwritten so edge samples stay bit-identical to the module path.
+
+    Round-4 strip audit (VERDICT r3 #4): padded-op outputs at positions
+    < N - r of an N-sample window equal the full-sequence outputs, so a
+    window of strip + r samples (lane-aligned) is sufficient — the round-1
+    stitch used strip + 2r + 128 — and the left/right windows batch into
+    ONE reference_fn call, halving the unfused small-op dispatch count.
+    """
+    b, t, _ = x.shape
+    n = min(-(-(strip + r) // 128) * 128, t)  # lane-aligned minimal window
+    lr = jnp.concatenate([x[:, :n, :], x[:, t - n:, :]], axis=0)
+    y = reference_fn(lr)
+    out = out.at[:, :strip, :].set(y[:b, :strip, :].astype(out.dtype))
+    out = out.at[:, -strip:, :].set(y[b:, n - strip:, :].astype(out.dtype))
+    return out
+
+
 def _fallback(reference_fn, x, t, tile):
     """Untileable length -> the padded reference path, with a clear error for
     standalone callers that passed no reference_fn (ADVICE round 1)."""
@@ -527,13 +551,7 @@ def fused_amp_stage(
     out = jnp.stack([run_one(x[i]) for i in range(b)])
 
     if reference_fn is not None:
-        # overwrite the boundary strips where padded semantics differ
-        strip = halo
-        ref_len = strip + r + 128
-        left = reference_fn(x[:, : ref_len + r, :])[:, :strip, :]
-        right = reference_fn(x[:, -(ref_len + r):, :])[:, -strip:, :]
-        out = out.at[:, :strip, :].set(left.astype(out.dtype))
-        out = out.at[:, -strip:, :].set(right.astype(out.dtype))
+        out = _stitch_boundaries(out, x, reference_fn, halo, r)
     return out
 
 
@@ -632,12 +650,7 @@ def fused_amp_stage_cl(
     out = jnp.transpose(out, (0, 2, 1))
 
     if reference_fn is not None:
-        strip = halo
-        ref_len = strip + r + 128
-        left = reference_fn(x[:, : ref_len + r, :])[:, :strip, :]
-        right = reference_fn(x[:, -(ref_len + r):, :])[:, -strip:, :]
-        out = out.at[:, :strip, :].set(left.astype(out.dtype))
-        out = out.at[:, -strip:, :].set(right.astype(out.dtype))
+        out = _stitch_boundaries(out, x, reference_fn, halo, r)
     return out
 
 
@@ -750,10 +763,5 @@ def fused_amp_stage_cl_batched(
     out = jnp.transpose(out, (0, 2, 1))
 
     if reference_fn is not None:
-        strip = halo
-        ref_len = strip + r + 128
-        left = reference_fn(x[:, : ref_len + r, :])[:, :strip, :]
-        right = reference_fn(x[:, -(ref_len + r):, :])[:, -strip:, :]
-        out = out.at[:, :strip, :].set(left.astype(out.dtype))
-        out = out.at[:, -strip:, :].set(right.astype(out.dtype))
+        out = _stitch_boundaries(out, x, reference_fn, halo, r)
     return out

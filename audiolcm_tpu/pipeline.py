@@ -107,6 +107,10 @@ class AudioLCMPipeline:
 
         self._generate_ctx_jit = jax.jit(self._generate_from_context, static_argnums=(3,))
         self._generate_ids_jit = jax.jit(self._generate_from_ids, static_argnums=(4,))
+        # (batch, latent_len) -> AOT-loaded generate executable
+        # (api.prewarm_buckets); generate_jit prefers these, so a prewarmed
+        # serving process never pays trace/lower/compile for lattice shapes.
+        self._aot_execs: dict = {}
 
     # -- pure functions (params as explicit args) ---------------------------
 
@@ -210,7 +214,14 @@ class AudioLCMPipeline:
         return self._generate_from_ids(self.params, rng, clap_ids, t5_ids, latent_len)
 
     def generate_jit(self, rng, clap_ids, t5_ids, latent_len: int = 312):
-        """Jitted token-ids -> waveform program (static latent_len)."""
+        """Jitted token-ids -> waveform program (static latent_len).
+
+        Prefers an AOT-loaded executable for this (batch, latent_len) when
+        api.prewarm_buckets registered one — a prewarmed serving process
+        skips trace+lower+compile entirely for every lattice shape."""
+        ex = self._aot_execs.get((clap_ids.shape[0], latent_len))
+        if ex is not None:
+            return ex(self.params, rng, clap_ids, t5_ids)
         return self._generate_ids_jit(self.params, rng, clap_ids, t5_ids, latent_len)
 
     def generate_from_context_jit(self, rng, context, latent_len: int = 312):

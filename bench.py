@@ -234,7 +234,7 @@ def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
 #   b8_10s    — default: batch 8, 10 s clips (BASELINE config #2 shape)
 #   b1_10s    — batch-1 single-prompt latency (config #1)
 #   b8_20s    — the 1248-mel/20 s long-form bucket
-#   musiccaps — the 628-mel bucket 99.9% of musiccap.tsv lands on (config #5)
+#   musiccaps — the 640-mel bucket 99.9% of musiccap.tsv lands on (config #5)
 #   vae       — 1D-VAE round-trip mel->latent->mel->wav (config #3)
 #   teacher   — 100-step DDIM teacher path, batch-doubled CFG (config #4)
 # ---------------------------------------------------------------------------
@@ -382,7 +382,7 @@ def main():
         return bench_generate(8, 624,
                               "audio_sec_generated_per_sec_per_chip_2step_lcm_b8_20s")
     elif cfg == "musiccaps":
-        return bench_generate(8, 314,
+        return bench_generate(8, 320,
                               "audio_sec_generated_per_sec_per_chip_2step_lcm_b8_musiccaps")
     elif cfg == "vae":
         return bench_vae_roundtrip()

@@ -203,3 +203,33 @@ def test_build_pipeline_default_attention_is_einsum(synthetic_ckpt):
     cfg_path, ckpt_path, voc_dir = synthetic_ckpt
     pipe = build_pipeline(cfg_path, ckpt_path, voc_dir)
     assert pipe.modules.dit.use_flash is False
+
+
+def test_prewarm_buckets_serves_lattice_warm(synthetic_ckpt, tmp_path, monkeypatch):
+    """Round-4 serving feature: prewarm_buckets AOT-persists one generate
+    executable per (batch, mel-bucket); generate_jit prefers the registered
+    executable; a second prewarm (fresh pipeline) loads binaries instead of
+    compiling."""
+    import numpy as np
+
+    from audiolcm_tpu.api import prewarm_buckets
+
+    monkeypatch.setenv("AUDIOLCM_AOT_CACHE", str(tmp_path / "aot"))
+    cfg_path, ckpt_path, voc_dir = synthetic_ckpt
+    pipe = build_pipeline(cfg_path, ckpt_path, voc_dir)
+    # tiny buckets (mel 16/32 -> latent 8/16); tok_len matches StubTokenizers
+    hows = prewarm_buckets(pipe, batch_sizes=(2,), mel_buckets=(16, 32),
+                           tok_len=7)
+    assert set(hows) == {(2, 8), (2, 16)}
+    ids = jnp.asarray(np.arange(7)[None, :].repeat(2, 0) % 13)
+    rng = jax.random.PRNGKey(0)
+    wav_aot, _ = pipe.generate_jit(rng, ids, ids, 16)
+    # bypass the registry for the plain-jit reference output
+    wav_jit, _ = pipe._generate_ids_jit(pipe.params, rng, ids, ids, 16)
+    np.testing.assert_allclose(np.asarray(wav_aot), np.asarray(wav_jit),
+                               atol=1e-6)
+
+    pipe2 = build_pipeline(cfg_path, ckpt_path, voc_dir)
+    hows2 = prewarm_buckets(pipe2, batch_sizes=(2,), mel_buckets=(16, 32),
+                            tok_len=7)
+    assert all(h == "loaded" for h in hows2.values()), hows2

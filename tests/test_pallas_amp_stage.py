@@ -238,3 +238,21 @@ def test_pick_stage_tile_production_shapes():
         tile = _pick_stage_tile(t, max_tile=mt)
         assert tile == expect, (ch, tile)
         assert t % tile == 0 and t >= 2 * tile
+
+
+def test_every_lattice_bucket_has_efficient_fused_tiles():
+    """Round-4 guard: every mel bucket in the serving lattice must give the
+    two fused stages (C=24 at T=256*B, C=48 at T=128*B) a legal Pallas tile
+    with bounded halo overhead. 628 failed this (256*628 = 2^10*157 caps the
+    tile at 1024/512 -> 25-50%% of each loaded window is halo on 35%% of
+    device time) and was replaced by 640 in the lattice."""
+    from audiolcm_tpu.data.buckets import DEFAULT_MEL_BUCKETS
+    from audiolcm_tpu.models.bigvgan import _pick_stage_tile
+
+    for b in DEFAULT_MEL_BUCKETS:
+        for ch, t in ((24, 256 * b), (48, 128 * b)):
+            mt = max(2048, (9984 * 24 // ch) // 128 * 128)
+            tile = _pick_stage_tile(t, max_tile=mt)
+            assert tile, (b, ch, "no legal fused tile")
+            halo_frac = 256 / (tile + 256)
+            assert halo_frac <= 0.12, (b, ch, tile, halo_frac)

@@ -55,8 +55,14 @@ def timeit(fn, *args, iters=20):
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
     dtype = jnp.bfloat16
-    b = 16  # CFG batch-doubled b8
-    latent_len, ctx_len = 312, 154
+    # defaults: CFG batch-doubled b8 at the 10 s bucket. The long-bucket
+    # flash retune (VERDICT r3 #7) overrides latent via env: at mel 1248
+    # the latent is 624 -> DiT seq 779.
+    b = int(os.environ.get("AUDIOLCM_DIT_BATCH", "16"))
+    latent_len = int(os.environ.get("AUDIOLCM_DIT_LATENT", "312"))
+    ctx_len = 154
+    print(f"shapes: b={b} latent={latent_len} ctx={ctx_len} "
+          f"(seq {latent_len + ctx_len + 1})", flush=True)
     rng = jax.random.PRNGKey(0)
     on_tpu = jax.default_backend() == "tpu"
 
