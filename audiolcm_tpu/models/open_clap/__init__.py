@@ -2,10 +2,11 @@
 
 Implements the pieces the reference vendors: CLAP model (audio + text
 towers, joint projections, logit scales), HTSAT Swin audio transformer,
-PANN CNNs, attentional feature fusion, the named-config factory, and the
-torch-checkpoint converter. Image/ResNet/ViT towers from the original
-open_clip lineage are image-CLIP presets unused by any audio config and are
-intentionally not ported.
+PANN CNNs, attentional feature fusion, the named-config factory, the
+torch-checkpoint converter, and — for inventory completeness — the
+image-CLIP vision towers (ModifiedResNet / VisualTransformer + RN/ViT
+presets in `vision_towers.py`) that the reference carries as dead code
+(its CLAP never instantiates them; ckpt loading pops `visual.*` keys).
 """
 
 from audiolcm_tpu.models.open_clap.factory import (
@@ -28,8 +29,16 @@ from audiolcm_tpu.models.open_clap.text_towers import (
     RobertaEncoder,
 )
 from audiolcm_tpu.models.open_clap.convert import (
+    convert_modified_resnet,
     convert_open_clap,
     convert_roberta,
+    convert_visual_transformer,
+)
+from audiolcm_tpu.models.open_clap.vision_towers import (
+    VISION_PRESETS,
+    ModifiedResNet,
+    VisualTransformer,
+    build_vision_tower,
 )
 from audiolcm_tpu.models.open_clap.embedders import (
     FrozenLAIONCLAPEmbedder,
@@ -47,5 +56,7 @@ __all__ = [
     "RobertaEncoder", "MLPLayers", "OpenClap", "OpenClapConfig",
     "MODEL_CONFIGS", "build_config", "create_model", "list_models",
     "convert_open_clap", "convert_roberta", "FrozenLAIONCLAPEmbedder",
-    "FrozenLAIONCLAPSetenceEmbedder",
+    "FrozenLAIONCLAPSetenceEmbedder", "VISION_PRESETS", "ModifiedResNet",
+    "VisualTransformer", "build_vision_tower", "convert_modified_resnet",
+    "convert_visual_transformer",
 ]

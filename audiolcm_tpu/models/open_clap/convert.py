@@ -202,3 +202,67 @@ def convert_open_clap(sd: SD, cfg: OpenClapConfig) -> dict:
         params["audio_branch"] = vars_["params"]
         stats["audio_branch"] = vars_["batch_stats"]
     return {"params": params, "batch_stats": stats}
+
+
+def convert_modified_resnet(sd: SD) -> dict:
+    """`visual.*` ModifiedResNet state dict (`model.py:153-244`) ->
+    flax variables for vision_towers.ModifiedResNet."""
+    params: dict = {}
+    stats: dict = {}
+    for name in ("bn1", "bn2", "bn3"):
+        params[name], stats[name] = _bn(sd, name)
+    for name in ("conv1", "conv2", "conv3"):
+        params[name] = _conv2d(sd, name, bias=False)
+    blocks = sorted(
+        {tuple(k.split(".")[:2]) for k in sd if k.startswith("layer")},
+        key=lambda t: (t[0], int(t[1])))
+    for stage, idx in blocks:
+        base = f"{stage}.{idx}"
+        p: dict = {}
+        s: dict = {}
+        for name in ("bn1", "bn2", "bn3"):
+            p[name], s[name] = _bn(sd, f"{base}.{name}")
+        for name in ("conv1", "conv2", "conv3"):
+            p[name] = _conv2d(sd, f"{base}.{name}", bias=False)
+        if f"{base}.downsample.0.weight" in sd:
+            p["downsample_conv"] = _conv2d(sd, f"{base}.downsample.0",
+                                           bias=False)
+            p["downsample_bn"], s["downsample_bn"] = _bn(
+                sd, f"{base}.downsample.1")
+        key = f"{stage}_{idx}"
+        params[key], stats[key] = p, s
+    params["attnpool"] = {
+        "positional_embedding": np.asarray(sd["attnpool.positional_embedding"]),
+        "q_proj": _dense(sd, "attnpool.q_proj"),
+        "k_proj": _dense(sd, "attnpool.k_proj"),
+        "v_proj": _dense(sd, "attnpool.v_proj"),
+        "c_proj": _dense(sd, "attnpool.c_proj"),
+    }
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_visual_transformer(sd: SD) -> dict:
+    """`visual.*` VisualTransformer state dict (`model.py:305-373`) ->
+    flax params for vision_towers.VisualTransformer."""
+    params: dict = {
+        "class_embedding": np.asarray(sd["class_embedding"]),
+        "positional_embedding": np.asarray(sd["positional_embedding"]),
+        "proj": np.asarray(sd["proj"]),
+        "conv1": _conv2d(sd, "conv1", bias=False),
+        "ln_pre": _norm(sd, "ln_pre"),
+        "ln_post": _norm(sd, "ln_post"),
+    }
+    n_blocks = 1 + max(int(k.split(".")[2]) for k in sd
+                       if k.startswith("text_branch.resblocks."))
+    for i in range(n_blocks):
+        base = f"text_branch.resblocks.{i}"
+        params[f"block_{i}"] = {
+            "ln_1": _norm(sd, f"{base}.ln_1"),
+            "ln_2": _norm(sd, f"{base}.ln_2"),
+            "in_proj": {"kernel": np.asarray(sd[f"{base}.attn.in_proj_weight"]).T,
+                        "bias": np.asarray(sd[f"{base}.attn.in_proj_bias"])},
+            "out_proj": _dense(sd, f"{base}.attn.out_proj"),
+            "c_fc": _dense(sd, f"{base}.mlp.c_fc"),
+            "c_proj": _dense(sd, f"{base}.mlp.c_proj"),
+        }
+    return {"params": params}

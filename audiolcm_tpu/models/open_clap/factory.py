@@ -5,9 +5,9 @@ Behavior parity: `ldm/modules/encoders/open_clap/factory.py:68-257`
 (`create_model(amodel_name, tmodel_name, pretrained, ..., enable_fusion,
 fusion_type)`): looks up the audio model config by name, overrides
 `text_cfg.model_type` with tmodel_name, builds CLAP, loads the checkpoint's
-`state_dict` (stripping a `module.` DDP prefix). Audio/vision-only RN/ViT
-configs are image-CLIP presets unused by any audio path and not registered
-here.
+`state_dict` (stripping a `module.` DDP prefix). The image-CLIP RN/ViT
+presets are unused by any audio path and not registered here; their towers
+and preset table live in `vision_towers.py` (inventory completeness).
 
 The config table below re-types `model_configs/*.json` (audio entries);
 all share text_cfg {context_length 77, vocab 49408, width 512, heads 8,

@@ -112,6 +112,7 @@ def load_reference() -> types.SimpleNamespace:
             lr_scheduler=importlib.import_module("ldm.lr_scheduler"),
             distributions=importlib.import_module(
                 "ldm.modules.distributions.distributions"),
+            x_transformer=importlib.import_module("ldm.modules.x_transformer"),
         )
     finally:
         for k in stubs:
@@ -119,3 +120,60 @@ def load_reference() -> types.SimpleNamespace:
 
     _ns = ns
     return ns
+
+
+_oc_model = None
+
+
+def load_reference_open_clap_model():
+    """Import the reference's open_clap/model.py directly (bypassing the
+    package __init__, whose tokenizer needs regex/ftfy at import time).
+
+    Stubs torchlibrosa/timm/torchvision only for the import; `transformers`
+    is imported for real FIRST so its timm-availability probe sees the truth
+    before the stub exists.
+    """
+    global _oc_model
+    if _oc_model is not None:
+        return _oc_model
+    import importlib
+    import importlib.machinery
+
+    import transformers  # noqa: F401  (must precede the timm stub)
+    import torch.nn as nn
+
+    stub_names = [
+        "torchlibrosa", "torchlibrosa.stft", "torchlibrosa.augmentation",
+        "timm", "timm.models", "timm.models.layers",
+        "torchvision", "torchvision.ops", "torchvision.ops.misc",
+    ]
+    preexisting = {k for k in stub_names if k in sys.modules}
+    assert not preexisting, f"real modules present, refusing to stub: {preexisting}"
+    for name in stub_names:
+        m = types.ModuleType(name)
+        m.__path__ = []
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        sys.modules[name] = m
+    s = sys.modules
+    s["torchlibrosa.stft"].Spectrogram = object
+    s["torchlibrosa.stft"].LogmelFilterBank = object
+    s["torchlibrosa.augmentation"].SpecAugmentation = object
+    s["timm"].create_model = lambda *a, **k: None
+    s["timm.models.layers"].Mlp = object
+    s["timm.models.layers"].to_2tuple = lambda x: (x, x)
+    s["timm.models.layers"].trunc_normal_ = lambda *a, **k: None
+    s["timm.models.layers"].DropPath = object
+    s["torchvision.ops.misc"].FrozenBatchNorm2d = type(
+        "FrozenBatchNorm2d", (nn.Module,), {})
+
+    pkg = types.ModuleType("_ocref")
+    pkg.__path__ = [os.path.join(REF, "ldm/modules/encoders/open_clap")]
+    pkg.__spec__ = importlib.machinery.ModuleSpec("_ocref", None,
+                                                  is_package=True)
+    sys.modules["_ocref"] = pkg
+    try:
+        _oc_model = importlib.import_module("_ocref.model")
+    finally:
+        for k in stub_names:
+            sys.modules.pop(k, None)
+    return _oc_model

@@ -83,16 +83,6 @@ def test_mel_filterbank_matches_transformers_slaney():
         np.testing.assert_allclose(ours, theirs, atol=1e-6)
 
 
-def test_mel_filterbank_matches_librosa_if_available():
-    librosa = pytest.importorskip("librosa")
-    cfg = MelConfig()
-    ours = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
-    theirs = librosa.filters.mel(
-        sr=cfg.sample_rate, n_fft=cfg.n_fft, n_mels=cfg.n_mels, fmin=cfg.fmin, fmax=cfg.fmax
-    )
-    np.testing.assert_allclose(ours, theirs, atol=1e-6)
-
-
 def test_hann_window_matches_torch():
     import torch
 

@@ -218,8 +218,14 @@ def bench_vae(iters):
 
     cfg = VAEGANConfig(disc_start=0)  # past disc_start: the expensive regime
     gen_step, disc_step = make_vae_gan_steps(vae_apply, disc_apply, cfg)
+    # both states up front, from copies: the first timed step DONATES its
+    # state, deleting the param buffers it aliases
+    copy = lambda t: jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x, t)
     state = init_vae_gan_state(ae_params, disc_params, disc_stats, cfg)
     state = state._replace(step=jnp.ones((), jnp.int32))
+    state_d = init_vae_gan_state(copy(ae_params), copy(disc_params),
+                                 copy(disc_stats), cfg)
+    state_d = state_d._replace(step=jnp.ones((), jnp.int32))
 
     g = jax.jit(gen_step, donate_argnums=(0,))
     ms, flops, comp, loss = _time_steps(
@@ -228,8 +234,7 @@ def bench_vae(iters):
           {"compile_s": round(comp, 1), "loss": round(loss, 2),
            "note": "recon + adaptive d_weight (2 extra last-layer bwd), mel 624"})
 
-    state = init_vae_gan_state(ae_params, disc_params, disc_stats, cfg)
-    state = state._replace(step=jnp.ones((), jnp.int32))
+    state = state_d
     d = jax.jit(disc_step, donate_argnums=(0,))
     ms, flops, comp, loss = _time_steps(
         d, state, (mel, rng), "train/disc_loss", iters, "vae_disc")
@@ -265,7 +270,9 @@ def bench_vocoder(iters):
         lambda p, y, yh: mrd.apply({"params": p}, y.astype(dtype), yh.astype(dtype)),
         VocoderGANConfig(), loss_mel_cfg)
 
+    copy = lambda t: jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x, t)
     state = init_state(gen_params, mpd_params, mrd_params)
+    state_g = init_state(copy(gen_params), copy(mpd_params), copy(mrd_params))
     d = jax.jit(disc_step, donate_argnums=(0,))
     ms, flops, comp, loss = _time_steps(
         d, state, (mel, wav), "train/disc_loss", iters, "voc_disc")
@@ -273,7 +280,7 @@ def bench_vocoder(iters):
           {"compile_s": round(comp, 1), "loss": round(loss, 2),
            "note": "MPD+MRD LSGAN, segment 8192"})
 
-    state = init_state(gen_params, mpd_params, mrd_params)
+    state = state_g
     g = jax.jit(gen_step, donate_argnums=(0,))
     ms, flops, comp, loss = _time_steps(
         g, state, (mel, wav), "train/gen_loss", iters, "voc_gen")
