@@ -237,12 +237,31 @@ def build_pipeline(
     )
 
 
+def _params_digest(params) -> str:
+    """Digest of the param tree's structure + leaf shapes/dtypes.
+
+    ADVICE r4 #2: knobs alone don't identify the checkpoint's parameter
+    shapes, so two pipelines built from different-sized checkpoints with
+    identical knobs collided on the same AOT key and the second deployment
+    loaded an executable with the wrong baked-in param avals. Values don't
+    matter (they're runtime arguments); shapes/dtypes/structure do.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        h.update(f"{path}:{getattr(leaf, 'shape', ())}:"
+                 f"{getattr(leaf, 'dtype', type(leaf).__name__)};".encode())
+    return h.hexdigest()[:16]
+
+
 def _pipeline_knobs(pipe: AudioLCMPipeline) -> tuple:
     """The config values that change the compiled generate program — part of
     every AOT artifact key (aot.source_fingerprint hashes sources, not
     instance knobs)."""
     voc, dit = pipe.modules.vocoder, pipe.modules.dit
     return (
+        _params_digest(pipe.params),
         jnp.dtype(pipe.compute_dtype).name,
         pipe.lcm_config.num_inference_steps,
         pipe.lcm_config.guidance_scale,
@@ -275,7 +294,8 @@ def prewarm_buckets(
 
     Returns {(batch, latent_len): "loaded"|"compiled"}.
     """
-    from audiolcm_tpu.aot import load_or_compile
+    from audiolcm_tpu.aot import load_or_compile, purge
+
     from audiolcm_tpu.data.buckets import DEFAULT_MEL_BUCKETS
 
     mel_buckets = tuple(mel_buckets) if mel_buckets is not None else DEFAULT_MEL_BUCKETS
@@ -287,13 +307,24 @@ def prewarm_buckets(
         t5_ids = jnp.zeros((b, tok_len), jnp.int32)
         for mel in mel_buckets:
             latent = mel // 2
+            tag = f"serve_b{b}_l{latent}"
+            args = (pipeline.params, rng, clap_ids, t5_ids, latent)
+            extra = ("serve",) + knobs + (b, latent, tok_len)
             ex, how = load_or_compile(
-                f"serve_b{b}_l{latent}",
-                pipeline._generate_ids_jit,
-                (pipeline.params, rng, clap_ids, t5_ids, latent),
-                extra=("serve",) + knobs + (b, latent, tok_len),
-            )
-            pipeline._aot_execs[(b, latent)] = ex
+                tag, pipeline._generate_ids_jit, args, extra=extra)
+            if how == "loaded":
+                # aot.py's prescribed recovery for stale/foreign artifacts:
+                # validate the loaded binary with one real invocation; on
+                # failure purge the tag and recompile cleanly (ADVICE r4 #2).
+                try:
+                    ex(pipeline.params, rng, clap_ids, t5_ids)
+                except Exception:
+                    purge(tag)
+                    ex, how = load_or_compile(
+                        tag, pipeline._generate_ids_jit, args, extra=extra)
+            key = (clap_ids.shape, t5_ids.shape, str(clap_ids.dtype),
+                   str(t5_ids.dtype), latent)
+            pipeline._aot_execs[key] = ex
             hows[(b, latent)] = how
     return hows
 

@@ -219,7 +219,13 @@ class AudioLCMPipeline:
         Prefers an AOT-loaded executable for this (batch, latent_len) when
         api.prewarm_buckets registered one — a prewarmed serving process
         skips trace+lower+compile entirely for every lattice shape."""
-        ex = self._aot_execs.get((clap_ids.shape[0], latent_len))
+        # Keyed on every aval the loaded executable bakes in — batch, token
+        # length, id dtype, latent_len (ADVICE r4 #1: a (batch, latent)-only
+        # key made a 99-token or int64-id call hit a 77-token executable and
+        # fail at call time instead of falling through to the jit path).
+        key = (clap_ids.shape, t5_ids.shape, str(clap_ids.dtype),
+               str(t5_ids.dtype), latent_len)
+        ex = self._aot_execs.get(key)
         if ex is not None:
             return ex(self.params, rng, clap_ids, t5_ids)
         return self._generate_ids_jit(self.params, rng, clap_ids, t5_ids, latent_len)
