@@ -24,11 +24,18 @@ from audiolcm_tpu.models.open_clap.model import (
 )
 from audiolcm_tpu.models.open_clap.pann import PannAudioBranch, PannConfig
 from audiolcm_tpu.models.open_clap.text_towers import (
+    BartConfig,
+    BartEncoder,
     ClipTextTransformer,
     RobertaConfig,
     RobertaEncoder,
 )
+from audiolcm_tpu.models.open_clap.tokenizer import (
+    ClipBpeTokenizer,
+    tokenize,
+)
 from audiolcm_tpu.models.open_clap.convert import (
+    convert_bart,
     convert_modified_resnet,
     convert_open_clap,
     convert_roberta,

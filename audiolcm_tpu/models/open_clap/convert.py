@@ -58,6 +58,30 @@ def convert_roberta(sd: SD, num_layers: int = 12) -> dict:
     return params
 
 
+def convert_bart(sd: SD, num_layers: int = 6) -> dict:
+    """HF BartModel ENCODER state dict (keys under `encoder.`) -> params for
+    text_towers.BartEncoder (the reference's `bart` text branch,
+    `open_clap/model.py:515-524`)."""
+    enc = {k[len("encoder."):]: v for k, v in sd.items()
+           if k.startswith("encoder.")}
+    params = {
+        "embed_tokens": {"embedding": enc["embed_tokens.weight"]},
+        "embed_positions": enc["embed_positions.weight"],
+        "layernorm_embedding": _norm(enc, "layernorm_embedding"),
+    }
+    for i in range(num_layers):
+        p = f"layers.{i}"
+        params[f"q_{i}"] = _dense(enc, f"{p}.self_attn.q_proj")
+        params[f"k_{i}"] = _dense(enc, f"{p}.self_attn.k_proj")
+        params[f"v_{i}"] = _dense(enc, f"{p}.self_attn.v_proj")
+        params[f"attn_out_{i}"] = _dense(enc, f"{p}.self_attn.out_proj")
+        params[f"self_attn_layer_norm_{i}"] = _norm(enc, f"{p}.self_attn_layer_norm")
+        params[f"fc1_{i}"] = _dense(enc, f"{p}.fc1")
+        params[f"fc2_{i}"] = _dense(enc, f"{p}.fc2")
+        params[f"final_layer_norm_{i}"] = _norm(enc, f"{p}.final_layer_norm")
+    return params
+
+
 def _fusion_params(sd: SD, prefix: str, iaff: bool) -> tuple:
     """AFF/iAFF torch Sequential indices: conv(0) bn(1) relu(2) conv(3)
     bn(4); global branches have AdaptiveAvgPool at 0, shifting by 1.
@@ -193,6 +217,11 @@ def convert_open_clap(sd: SD, cfg: OpenClapConfig) -> dict:
         params["text_branch"] = convert_roberta(text_sd, num_layers=n_layers)
     elif cfg.text_model_type == "bert":
         params["text_branch"] = convert_bert(text_sd, num_layers=n_layers)
+    elif cfg.text_model_type == "bart":
+        n_bart = 1 + max(
+            (int(k.split(".")[2]) for k in text_sd
+             if k.startswith("encoder.layers.")), default=-1)
+        params["text_branch"] = convert_bart(text_sd, num_layers=n_bart)
     audio_sd = _strip(sd, "audio_branch.")
     if audio_sd:
         if isinstance(cfg.audio, HTSATConfig):

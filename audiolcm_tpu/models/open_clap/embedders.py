@@ -89,6 +89,14 @@ class FrozenLAIONCLAPEmbedder:
         return self._encode_tokens(self.params, input_ids, attention_mask)
 
     def encode(self, texts: Sequence[str]) -> jnp.ndarray:
+        if self.model.config.text_model_type == "transformer":
+            # CLIP text branch: the in-package BPE tokenizer (no HF asset),
+            # `open_clap/tokenizer.py:152-180` semantics; the branch ignores
+            # attention masks (causal tower, model.py:602-616)
+            from audiolcm_tpu.models.open_clap.tokenizer import tokenize
+
+            ids = tokenize(list(texts), self.max_length)
+            return self.encode_ids(jnp.asarray(ids))
         batch = self.tokenizer(list(texts), truncation=True,
                                max_length=self.max_length,
                                padding="max_length", return_tensors="np")

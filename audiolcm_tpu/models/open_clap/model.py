@@ -23,6 +23,8 @@ import numpy as np
 from audiolcm_tpu.models.open_clap.htsat import HTSAT, HTSATConfig, htsat_preset
 from audiolcm_tpu.models.open_clap.pann import PannAudioBranch, PannConfig
 from audiolcm_tpu.models.open_clap.text_towers import (
+    BartConfig,
+    BartEncoder,
     ClipTextTransformer,
     RobertaConfig,
     RobertaEncoder,
@@ -99,6 +101,9 @@ class OpenClap(nn.Module):
                 context_length=cfg.context_length,
                 quick_gelu=cfg.quick_gelu, name="text_branch")
             text_out = cfg.text_width
+        elif cfg.text_model_type == "bart":
+            self.text_branch = BartEncoder(BartConfig(), name="text_branch")
+            text_out = 768
         else:
             raise ValueError(f"Model type {cfg.text_model_type} not found")
         del text_out
@@ -129,6 +134,11 @@ class OpenClap(nn.Module):
             return self.text_projection(clip_eot_features(feats, input_ids))
         if cfg.text_model_type == "roberta":
             hidden, pooled = self.text_branch(input_ids, attention_mask)
+        elif cfg.text_model_type == "bart":
+            # bart: UNMASKED mean of encoder_last_hidden_state
+            # (model.py:637-643 torch.mean(..., axis=1))
+            hidden = self.text_branch(input_ids, attention_mask)
+            pooled = jnp.mean(hidden, axis=1)
         else:  # bert: reference takes pooler_output; our BertEncoder has no
             # pooler, reference CLAP ckpts for bert are unused — CLS stands in
             hidden = self.text_branch(input_ids, attention_mask)

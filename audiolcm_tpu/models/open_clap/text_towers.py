@@ -133,3 +133,69 @@ def clip_eot_features(features: jnp.ndarray, text_ids: jnp.ndarray) -> jnp.ndarr
     """Take features at the EOT token = argmax id per row (model.py:615)."""
     eot = jnp.argmax(text_ids, axis=-1)
     return jax.vmap(lambda f, i: f[i])(features, eot)
+
+
+@dataclasses.dataclass(frozen=True)
+class BartConfig:
+    """facebook/bart-base encoder constants (the reference's `bart` branch
+    loads exactly this preset, `open_clap/model.py:515-524`)."""
+
+    vocab_size: int = 50265
+    d_model: int = 768
+    num_layers: int = 6
+    num_heads: int = 12
+    ffn_dim: int = 3072
+    max_position_embeddings: int = 1024
+    pad_token_id: int = 1
+    pos_offset: int = 2  # HF BartLearnedPositionalEmbedding offset
+    layer_norm_eps: float = 1e-5
+
+
+class BartEncoder(nn.Module):
+    """BART encoder, HF-exact: learned positions at arange(L)+2,
+    layernorm_embedding, POST-LN residual blocks (unlike the pre-LN CLIP
+    tower above) with exact-gelu FFN. input_ids (B, L) ->
+    encoder_last_hidden_state (B, L, d_model); the reference's bart branch
+    consumes its unmasked mean (`model.py:637-643`)."""
+
+    config: BartConfig = BartConfig()
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray,
+                 attention_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cfg = self.config
+        tok = nn.Embed(cfg.vocab_size, cfg.d_model, name="embed_tokens")(input_ids)
+        pos_table = self.param(
+            "embed_positions", nn.initializers.normal(0.02),
+            (cfg.max_position_embeddings + cfg.pos_offset, cfg.d_model))
+        t = input_ids.shape[1]
+        h = tok + pos_table[cfg.pos_offset: cfg.pos_offset + t][None]
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layernorm_embedding")(h)
+
+        bias = None
+        if attention_mask is not None:
+            bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
+        hd = cfg.d_model // cfg.num_heads
+        for i in range(cfg.num_layers):
+            # self-attn then POST layer norm (HF BartEncoderLayer)
+            q = nn.Dense(cfg.d_model, name=f"q_{i}")(h) * hd**-0.5
+            k = nn.Dense(cfg.d_model, name=f"k_{i}")(h)
+            v = nn.Dense(cfg.d_model, name=f"v_{i}")(h)
+            b, tt, _ = q.shape
+            sp = lambda a: a.reshape(b, tt, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", sp(q), sp(k),
+                                preferred_element_type=jnp.float32)
+            if bias is not None:
+                logits = logits + bias
+            w = nn.softmax(logits.astype(jnp.float32), -1).astype(v.dtype)
+            attn = jnp.einsum("bhqk,bhkd->bhqd", w, sp(v))
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, tt, cfg.d_model)
+            h = h + nn.Dense(cfg.d_model, name=f"attn_out_{i}")(attn)
+            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                             name=f"self_attn_layer_norm_{i}")(h)
+            y = nn.Dense(cfg.ffn_dim, name=f"fc1_{i}")(h)
+            y = nn.gelu(y, approximate=False)
+            h = h + nn.Dense(cfg.d_model, name=f"fc2_{i}")(y)
+            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                             name=f"final_layer_norm_{i}")(h)
+        return h

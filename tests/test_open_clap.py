@@ -368,3 +368,125 @@ def test_clip_loss_sharded_matches_single(rng):
 
     out = float(sharded(jnp.asarray(a), jnp.asarray(t))[0])
     np.testing.assert_allclose(out, single, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# round 5: CLIP BPE tokenizer + bart branch (VERDICT r4 'Next round' #8)
+# ---------------------------------------------------------------------------
+
+def _reference_clip_tokenizer():
+    """Load the reference's vendored OpenAI tokenizer for golden comparison
+    (verification only). Its module needs `ftfy`, which this image lacks —
+    stub it as identity; every test string below is plain ASCII, where
+    fix_text IS the identity, so the comparison stays exact."""
+    import importlib.util
+    import sys
+    import types
+
+    path = "/root/reference/ldm/modules/encoders/open_clap/tokenizer.py"
+    if not __import__("os").path.exists(path):
+        pytest.skip("reference tree not available")
+    injected = "ftfy" not in sys.modules
+    if injected:
+        ftfy = types.ModuleType("ftfy")
+        ftfy.fix_text = lambda s: s
+        sys.modules["ftfy"] = ftfy
+    try:
+        spec = importlib.util.spec_from_file_location("_ref_clip_tok", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        if injected:  # a bare stub confuses transformers' importlib probing
+            sys.modules.pop("ftfy", None)
+    return mod
+
+
+def test_clip_tokenizer_matches_reference():
+    from audiolcm_tpu.models.open_clap.tokenizer import (
+        ClipBpeTokenizer,
+        tokenize,
+    )
+
+    ref = _reference_clip_tokenizer()
+    texts = [
+        "A dog barks loudly in the park!",
+        "water flowing over rocks, then a splash...",
+        "Hello world's 3 cats & dogs (2024)",
+        "thunderstorm with heavy rain and WIND",
+        "",
+        "a " * 60,  # > context_length, exercises truncation
+    ]
+    ref_ids = ref.tokenize(texts, 77).numpy()
+    ours = tokenize(texts, 77)
+    np.testing.assert_array_equal(ours, ref_ids)
+
+    tk = ClipBpeTokenizer()
+    assert tk.vocab_size == 49408
+    assert (tk.sot_id, tk.eot_id) == (49406, 49407)
+    # decode round-trip on the cleaned/lowercased form
+    ids = tk.encode("A dog barks loudly")
+    assert tk.decode(ids).strip() == "a dog barks loudly"
+
+
+def test_clip_tokenizer_drives_transformer_branch():
+    """The ids feed the 'transformer' text branch end-to-end — the branch
+    the parity table called driverless before the tokenizer landed."""
+    from audiolcm_tpu.models.open_clap.text_towers import ClipTextTransformer
+    from audiolcm_tpu.models.open_clap.tokenizer import tokenize
+
+    ids = jnp.asarray(tokenize(["a cat meows", "rain falls"], 77))
+    tower = ClipTextTransformer(width=16, layers=1, heads=2,
+                                vocab_size=49408, context_length=77)
+    params = tower.init(jax.random.PRNGKey(0), ids)
+    feats = tower.apply(params, ids)
+    assert feats.shape == (2, 77, 16)
+    assert np.isfinite(np.asarray(feats)).all()
+    # EOT pooling picks the highest id = <end_of_text>
+    from audiolcm_tpu.models.open_clap.text_towers import clip_eot_features
+
+    pooled = clip_eot_features(feats, ids)
+    assert pooled.shape == (2, 16)
+
+
+def test_bart_matches_hf(rng):
+    """BartEncoder vs HF BartModel's encoder_last_hidden_state, plus the
+    unmasked-mean pooling of the reference's bart branch
+    (`open_clap/model.py:637-643`)."""
+    torch = pytest.importorskip("torch")
+    from transformers import BartConfig as HFBartConfig, BartModel
+
+    hf_cfg = HFBartConfig(
+        vocab_size=100, d_model=32, encoder_layers=2, decoder_layers=1,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_position_embeddings=64, pad_token_id=1,
+        activation_function="gelu", dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0)
+    torch.manual_seed(0)
+    hf = BartModel(hf_cfg).eval()
+
+    ids = rng.integers(3, 100, size=(2, 12))
+    ids[0, 9:] = 1
+    mask = (ids != 1).astype(np.int64)
+    with torch.no_grad():
+        out = hf(input_ids=torch.from_numpy(ids),
+                 attention_mask=torch.from_numpy(mask),
+                 decoder_input_ids=torch.from_numpy(ids[:, :1]))
+    ref_hidden = out.encoder_last_hidden_state.numpy()
+
+    from audiolcm_tpu.models.open_clap.convert import convert_bart
+    from audiolcm_tpu.models.open_clap.text_towers import (
+        BartConfig,
+        BartEncoder,
+    )
+
+    cfg = BartConfig(vocab_size=100, d_model=32, num_layers=2, num_heads=4,
+                     ffn_dim=64, max_position_embeddings=64)
+    params = {"params": convert_bart(_np_sd(hf), num_layers=2)}
+    hidden = BartEncoder(cfg).apply(params, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(hidden), ref_hidden, atol=2e-5)
+
+    # wire-through: OpenClap bart branch pools by unmasked mean
+    ref_pooled = ref_hidden.mean(axis=1)
+    np.testing.assert_allclose(np.asarray(hidden).mean(axis=1), ref_pooled,
+                               atol=2e-5)
