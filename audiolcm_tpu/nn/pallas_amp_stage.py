@@ -38,6 +38,14 @@ from audiolcm_tpu.nn.resample import kaiser_sinc_filter1d
 R_ACT = 6
 
 
+def _exact_cos(h: jnp.ndarray) -> jnp.ndarray:
+    """Builtin cos with an f32 round-trip: Mosaic cannot legalize math.cos
+    on bf16 vectors (found on-chip in round 5 — the fast=False kernel knob
+    never actually compiled before), and the TPU transcendental unit is f32
+    anyway, matching the XLA path's compute-f32/store-bf16 rounding."""
+    return jnp.cos(h.astype(jnp.float32)).astype(h.dtype)
+
+
 def _act_taps():
     up = kaiser_sinc_filter1d(0.25, 0.3, 12).astype(np.float64) * 2.0
     up_even = [float(up[15 - 2 * d]) for d in range(2, 8)]
@@ -83,7 +91,7 @@ def valid_alias_free_snake(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray
     interior windows. alpha/beta already exponentiated (linear scale)."""
     from audiolcm_tpu.nn.snake import fast_cos
 
-    cos = fast_cos if fast else jnp.cos
+    cos = fast_cos if fast else _exact_cos
     l = x.shape[0]
     out_len = l - 2 * R_ACT
     ad = jnp.float32 if accum == "f32" else None
@@ -223,7 +231,7 @@ def valid_alias_free_snake_cl(x: jnp.ndarray, alpha, beta,
     """(C, L) -> (C, L - 2*R_ACT); alpha/beta (C,)."""
     from audiolcm_tpu.nn.snake import fast_cos
 
-    cos = fast_cos if fast else jnp.cos
+    cos = fast_cos if fast else _exact_cos
     l = x.shape[1]
     out_len = l - 2 * R_ACT
     ad = jnp.float32 if accum == "f32" else None

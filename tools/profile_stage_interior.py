@@ -162,20 +162,30 @@ def profile_shape(c, t, tile, b=8):
     x = jax.random.normal(jax.random.PRNGKey(1), (b, t, c), dtype)
     print(f"=== C={c} T={t} tile={tile} b={b} iters={ITERS} ===", flush=True)
 
-    full = timeit(stage_fn(c, t, tile, (3, 7, 11), (1, 3, 5)), x)
-    k37 = timeit(stage_fn(c, t, tile, (3, 7), (1, 3, 5)), x)
-    k3 = timeit(stage_fn(c, t, tile, (3,), (1, 3, 5)), x)
-    d1 = timeit(stage_fn(c, t, tile, (3, 7, 11), (1,)), x)
-    slow = timeit(stage_fn(c, t, tile, (3, 7, 11), (1, 3, 5), fast=False), x)
-    print(f"stage full {full:7.2f} ms | k(3,7) {k37:7.2f} | k(3) {k3:7.2f} | "
-          f"dil(1) {d1:7.2f} | jnp.cos {slow:7.2f}")
+    def timed(label, fn):
+        """Time one variant, print immediately (each is a long Mosaic
+        compile — a late crash must not lose earlier numbers)."""
+        try:
+            ms = timeit(fn, x)
+        except Exception as e:  # keep profiling the remaining variants
+            print(f"  {label}: FAILED ({type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]})", flush=True)
+            return float("nan")
+        print(f"  {label}: {ms:7.2f} ms", flush=True)
+        return ms
+
+    full = timed("full k(3,7,11) d(1,3,5)", stage_fn(c, t, tile, (3, 7, 11), (1, 3, 5)))
+    k37 = timed("k(3,7)", stage_fn(c, t, tile, (3, 7), (1, 3, 5)))
+    k3 = timed("k(3)", stage_fn(c, t, tile, (3,), (1, 3, 5)))
+    d1 = timed("dil(1)", stage_fn(c, t, tile, (3, 7, 11), (1,)))
+    slow = timed("exact-cos", stage_fn(c, t, tile, (3, 7, 11), (1, 3, 5), fast=False))
     print(f"  marginal resblock: k7 {k37 - k3:+.2f} ms, k11 {full - k37:+.2f} ms"
           f" | per extra dilation sub-unit {(full - d1) / 2:+.2f} ms"
           f" | fast_cos saves {slow - full:+.2f} ms")
 
     # act unit: slope of n_rep=2 vs n_rep=6 (4 extra acts) cancels DMA cost
-    a2 = timeit(act_only_fn(c, t, tile, 2), x)
-    a6 = timeit(act_only_fn(c, t, tile, 6), x)
+    a2 = timed("act-only n_rep=2", act_only_fn(c, t, tile, 2))
+    a6 = timed("act-only n_rep=6", act_only_fn(c, t, tile, 6))
     unit = (a6 - a2) / 4
     n_acts = 2 * 3 * 3  # 2 acts/sub * 3 dil * 3 resblocks
     act_total = unit * n_acts
@@ -186,10 +196,20 @@ def profile_shape(c, t, tile, b=8):
     return full
 
 
+def serving_tile(c, t):
+    """Constant C*tile VMEM/compile budget (C=24 -> 9984, C=48 -> 4992 —
+    the benched serving tiles; C=48 at tile 9984 blew a 58-min Mosaic
+    compile bound in round 2, so never exceed the budget here)."""
+    tile = 239616 // c // 128 * 128
+    while tile > 128 and t % tile:
+        tile -= 128
+    return tile
+
+
 def main():
     if len(sys.argv) == 3:
         c, t = int(sys.argv[1]), int(sys.argv[2])
-        profile_shape(c, t, tile=9984 if t % 9984 == 0 else t // 8)
+        profile_shape(c, t, tile=serving_tile(c, t))
         return
     if INTERPRET:  # CPU smoke at tiny shapes: one stage + one act variant,
         # checking the act kernel against the package's reference math
@@ -216,9 +236,9 @@ def main():
         # scattered 1-2-ulp bf16 rounding noise (~0.05 on scale 4) is fine
         assert d < 0.2, d
         return
-    # the two fused serving stages (b8, 10 s config)
-    profile_shape(48, 79872, tile=9984)
-    profile_shape(24, 159744, tile=9984)
+    # the two fused serving stages (b8, 10 s config), serving tiles
+    profile_shape(48, 79872, tile=serving_tile(48, 79872))
+    profile_shape(24, 159744, tile=serving_tile(24, 159744))
 
 
 if __name__ == "__main__":
