@@ -29,10 +29,23 @@ LRELU_SLOPE = 0.1
 
 
 class DiscriminatorP(nn.Module):
-    """Period-folded 2D conv discriminator (`models.py:216-250`)."""
+    """Period-folded 2D conv discriminator (`models.py:216-250`).
+
+    Every kernel is (k, 1): the period axis is never mixed, so the network
+    is exactly `period` independent 1D conv stacks over T/period.
+    fold_mode picks the layout (param tree and losses are identical):
+      * "width"  — the reference layout, (B, T/p, p, 1) with p as the conv
+        width dim.
+      * "batch"  — TPU layout experiment (VERDICT r4 #7): p folds into the
+        batch, (B*p, T/p, 1, 1), removing the stride-p minor axis from
+        every conv's layout. Logits/fmaps are permutations of the "width"
+        ones; LSGAN + feature-matching losses are elementwise means, so
+        training is equivalent as long as real/fake use the same mode.
+    """
 
     period: int
     d_mult: int = 1
+    fold_mode: str = "width"
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
@@ -43,7 +56,12 @@ class DiscriminatorP(nn.Module):
             pad = p - t % p
             wav = jnp.pad(wav, ((0, 0), (0, pad)), mode="reflect")
             t = t + pad
-        x = wav.reshape(b, t // p, p, 1)
+        if self.fold_mode == "batch":
+            # (B, T) -> (B, T/p, p) -> (B, p, T/p) -> (B*p, T/p, 1, 1)
+            x = wav.reshape(b, t // p, p).transpose(0, 2, 1)
+            x = x.reshape(b * p, t // p, 1, 1)
+        else:
+            x = wav.reshape(b, t // p, p, 1)
 
         fmap = []
         widths = [32, 128, 512, 1024]

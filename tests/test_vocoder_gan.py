@@ -75,3 +75,36 @@ def test_vocoder_gan_steps_run():
         assert np.isfinite(float(gm[k])), k
     assert np.isfinite(float(dm["train/disc_loss"]))
     assert int(state.step) == 1
+
+
+def test_discriminator_p_fold_modes_equivalent():
+    """fold_mode='batch' (period folded into the batch axis — the TPU layout
+    experiment, VERDICT r4 #7) is an exact permutation of the reference
+    'width' layout: same params, logits related by a (p, h') transpose, and
+    every feature map carries identical values. LSGAN/FM losses are
+    elementwise means, so training dynamics are identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiolcm_tpu.models.vocoder_discriminators import DiscriminatorP
+
+    rng = jax.random.PRNGKey(0)
+    wav = jax.random.normal(rng, (2, 302))  # not a multiple of p: pads
+    for p in (2, 5):
+        d_w = DiscriminatorP(p, fold_mode="width")
+        d_b = DiscriminatorP(p, fold_mode="batch")
+        params = d_w.init(rng, wav)
+        lw, fw = d_w.apply(params, wav)
+        lb, fb = d_b.apply(params, wav)
+        b = wav.shape[0]
+        hp = lw.shape[1] // p  # width layout flattens (h', p)
+        # batch layout flattens (p, h') -> transpose matches width layout
+        lb_as_w = lb.reshape(b, p, hp).transpose(0, 2, 1).reshape(b, -1)
+        np.testing.assert_allclose(np.asarray(lb_as_w), np.asarray(lw),
+                                   rtol=0, atol=2e-5)
+        for a, c in zip(fw, fb):
+            # fmaps: (b, h, p, C) vs (b*p, h, 1, C) — same multiset of values
+            np.testing.assert_allclose(
+                np.asarray(a.transpose(0, 2, 1, 3).reshape(-1)),
+                np.asarray(c.reshape(-1)), rtol=0, atol=2e-5)
