@@ -123,17 +123,38 @@ class DiscriminatorR(nn.Module):
         return x.reshape(x.shape[0], -1), fmap
 
 
+def _apply_pair(d, y, y_hat, pair_batch):
+    """Run a sub-discriminator on (real, fake). pair_batch=True concatenates
+    the pair on the batch axis so each conv stack dispatches ONCE at 2B
+    (exact: shared params, pure convs + elementwise acts, so d(cat) ==
+    cat(d); logits/fmaps split back on the batch-major axis)."""
+    if not pair_batch:
+        lr, fr = d(y)
+        lg, fg = d(y_hat)
+        return lr, lg, fr, fg
+    b = y.shape[0]
+    logits, fmaps = d(jnp.concatenate([y, y_hat], axis=0))
+    lr, lg = logits[:b], logits[b:]
+    # fmap batch axis is 2B ("width" fold / MRD) or 2B*p ("batch" fold);
+    # either way the first half is the real rows (batch-major fold order)
+    fr = [f[: f.shape[0] // 2] for f in fmaps]
+    fg = [f[f.shape[0] // 2:] for f in fmaps]
+    return lr, lg, fr, fg
+
+
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     d_mult: int = 1
+    fold_mode: str = "width"  # see DiscriminatorP
+    pair_batch: bool = False  # batch (real, fake) into one 2B apply
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
         reals, fakes, fmap_r, fmap_g = [], [], [], []
         for p in self.periods:
-            d = DiscriminatorP(p, self.d_mult, name=f"p{p}")
-            lr, fr = d(y)
-            lg, fg = d(y_hat)
+            d = DiscriminatorP(p, self.d_mult, fold_mode=self.fold_mode,
+                               name=f"p{p}")
+            lr, lg, fr, fg = _apply_pair(d, y, y_hat, self.pair_batch)
             reals.append(lr)
             fakes.append(lg)
             fmap_r.append(fr)
@@ -144,14 +165,14 @@ class MultiPeriodDiscriminator(nn.Module):
 class MultiResolutionDiscriminator(nn.Module):
     resolutions: Sequence[Sequence[int]] = ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
     d_mult: int = 1
+    pair_batch: bool = False  # batch (real, fake) into one 2B apply
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
         reals, fakes, fmap_r, fmap_g = [], [], [], []
         for res in self.resolutions:
             d = DiscriminatorR(tuple(res), self.d_mult, name=f"r{res[0]}")
-            lr, fr = d(y)
-            lg, fg = d(y_hat)
+            lr, lg, fr, fg = _apply_pair(d, y, y_hat, self.pair_batch)
             reals.append(lr)
             fakes.append(lg)
             fmap_r.append(fr)

@@ -77,6 +77,45 @@ def test_vocoder_gan_steps_run():
     assert int(state.step) == 1
 
 
+def test_pair_batch_mode_exact():
+    """pair_batch=True (one 2B apply per sub-disc) matches the two-apply
+    layout — d(cat) == cat(d) for shared-param pure-conv stacks. Equality is
+    mathematical, not bitwise: XLA may tile a 2B conv differently, so allow
+    float-rounding noise."""
+    from audiolcm_tpu.models.vocoder_discriminators import (
+        MultiPeriodDiscriminator, MultiResolutionDiscriminator)
+
+    rng = jax.random.PRNGKey(3)
+    y = jax.random.normal(rng, (2, 512))
+    y_hat = jax.random.normal(jax.random.fold_in(rng, 1), (2, 512))
+    close = lambda xa, xb: np.testing.assert_allclose(
+        np.asarray(xa), np.asarray(xb), rtol=2e-3, atol=1e-6)
+    for fold in ("width", "batch"):
+        a = MultiPeriodDiscriminator(periods=(2, 3), fold_mode=fold)
+        b = MultiPeriodDiscriminator(periods=(2, 3), fold_mode=fold,
+                                     pair_batch=True)
+        params = a.init(rng, y, y_hat)
+        ra, fa, fra, fga = a.apply(params, y, y_hat)
+        rb, fb, frb, fgb = b.apply(params, y, y_hat)
+        for xs, ys in ((ra, rb), (fa, fb)):
+            for xa, xb in zip(xs, ys):
+                close(xa, xb)
+        for fs, gs in ((fra, frb), (fga, fgb)):
+            for da, db in zip(fs, gs):
+                for xa, xb in zip(da, db):
+                    close(xa, xb)
+    a = MultiResolutionDiscriminator(resolutions=((128, 32, 64),))
+    b = MultiResolutionDiscriminator(resolutions=((128, 32, 64),),
+                                     pair_batch=True)
+    params = a.init(rng, y, y_hat)
+    ra, fa, fra, fga = a.apply(params, y, y_hat)
+    rb, fb, frb, fgb = b.apply(params, y, y_hat)
+    close(ra[0], rb[0])
+    close(fa[0], fb[0])
+    for da, db in zip(fra[0] + fga[0], frb[0] + fgb[0]):
+        close(da, db)
+
+
 def test_discriminator_p_fold_modes_equivalent():
     """fold_mode='batch' (period folded into the batch axis — the TPU layout
     experiment, VERDICT r4 #7) is an exact permutation of the reference

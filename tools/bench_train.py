@@ -252,9 +252,13 @@ def bench_vocoder(iters):
         VocoderGANConfig, make_vocoder_gan_steps)
 
     dtype = _dtype()
+    # layout A/B knobs (VERDICT r4 #7): AUDIOLCM_MPD_FOLD=width|batch,
+    # AUDIOLCM_DISC_PAIR=0|1 (one 2B apply per sub-disc instead of two)
+    fold = os.environ.get("AUDIOLCM_MPD_FOLD", "width")
+    pair = os.environ.get("AUDIOLCM_DISC_PAIR", "0") == "1"
     gen = BigVGAN(BigVGANConfig())
-    mpd = MultiPeriodDiscriminator()
-    mrd = MultiResolutionDiscriminator()
+    mpd = MultiPeriodDiscriminator(fold_mode=fold, pair_batch=pair)
+    mrd = MultiResolutionDiscriminator(pair_batch=pair)
     rng = jax.random.PRNGKey(0)
     batch, segment, hop = 32, 8192, 256
     frames = segment // hop + 1
@@ -278,7 +282,7 @@ def bench_vocoder(iters):
         d, state, (mel, wav), "train/disc_loss", iters, "voc_disc")
     _emit("vocoder_gan_disc_b32", ms, flops,
           {"compile_s": round(comp, 1), "loss": round(loss, 2),
-           "note": "MPD+MRD LSGAN, segment 8192"})
+           "note": f"MPD+MRD LSGAN, segment 8192, fold={fold} pair={int(pair)}"})
 
     state = state_g
     g = jax.jit(gen_step, donate_argnums=(0,))
@@ -286,7 +290,8 @@ def bench_vocoder(iters):
         g, state, (mel, wav), "train/gen_loss", iters, "voc_gen")
     _emit("vocoder_gan_gen_b32", ms, flops,
           {"compile_s": round(comp, 1), "loss": round(loss, 2),
-           "note": "45*L1-mel + FM + adv, gen fwd+bwd through MPD+MRD"})
+           "note": f"45*L1-mel + FM + adv, gen fwd+bwd through MPD+MRD, "
+                   f"fold={fold} pair={int(pair)}"})
 
 
 def main():

@@ -1,0 +1,377 @@
+"""Micro-overfit convergence proofs for the three GAN/distill trainers
+(VERDICT r4 #2): steps that run and match reference math at step 0 can still
+diverge over hundreds of steps — adaptive d_weight, R1 grad-of-grad, the 0.95
+target EMA and disc warm-up gating are exactly the risky parts. This tool
+TRAINS each path on synthetic data until the losses prove the dynamics work:
+
+  (a) vae_gan_micro   — tiny AutoencoderKL1D + PatchGAN past disc_start: the
+      adversarial path and adaptive d_weight engage, rec loss falls, disc/gen
+      losses stay bounded, the disc separates real from fake.
+      Reference semantics: ldm/models/autoencoder1d.py:79-99 +
+      ldm/modules/losses_audio/contperceptual.py.
+  (b) vocoder_gan_micro — tiny BigVGAN + MPD/MRD overfit a pure sine tone:
+      mel-L1 falls and the reconstruction's spectrum is dominated by the
+      tone's bin (it is audibly a tone).
+      Reference semantics: vocoder/bigvgan/train_vocoder.py:209-270.
+  (c) lcm_distill_micro — train a tiny teacher on a delta-conditional toy
+      distribution, LCM-distill it, and assert the CONSISTENCY PROPERTY
+      itself: the 2-step student sample matches the teacher's 100-step
+      CFG-DDIM sample far closer than the undistilled init does.
+      Reference semantics: ldm/models/diffusion/lcm_audio.py:618-698.
+
+Pure-CPU tool (forces JAX_PLATFORMS=cpu so it never touches a busy chip).
+Run: python tools/train_micro.py [vae|vocoder|distill ...]
+Reduced-step versions of the same experiments run in tests/test_train_micro.py.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# (a) VAE-GAN
+# ---------------------------------------------------------------------------
+
+def vae_gan_micro(steps=300, disc_start=60, lr=5e-4, seed=0, log_every=50,
+                  verbose=True):
+    """Overfit a fixed synthetic-mel batch through + past disc_start.
+
+    Returns the metric curves; asserts (1) rec loss falls >50%, (2) adaptive
+    d_weight is finite and engaged after disc_start, (3) disc/gen losses stay
+    bounded, (4) the discriminator separates real from reconstruction.
+    """
+    from audiolcm_tpu.models.discriminators import NLayerDiscriminator2D
+    from audiolcm_tpu.models.vae1d import AutoencoderKL1D, DiagonalGaussian, VAEConfig
+    from audiolcm_tpu.train.vae_gan import (
+        VAEGANConfig, init_vae_gan_state, make_vae_gan_steps)
+
+    cfg_vae = VAEConfig(
+        in_channels=16, out_ch=16, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+        down_layers=(0,), attn_layers=(), kernel_size=5, z_channels=4,
+        embed_dim=4,
+    )
+    vae = AutoencoderKL1D(cfg_vae)
+    disc = NLayerDiscriminator2D(ndf=8, n_layers=2)
+    rng = jax.random.PRNGKey(seed)
+
+    # structured target: smooth low-rank mel-like pattern, fixed batch
+    t = np.linspace(0, 1, 64)[None, :, None]
+    f = np.linspace(0, 1, 16)[None, None, :]
+    ph = np.random.default_rng(seed).uniform(0, 6.28, (4, 1, 1))
+    mel = jnp.asarray(
+        np.sin(6.28 * (3 * t + 2 * f) + ph) + 0.5 * np.cos(6.28 * 5 * f + ph),
+        jnp.float32)  # (4, 64, 16)
+
+    ae_params = vae.init(rng, mel, rng)["params"]
+    disc_vars = disc.init(rng, jnp.zeros((4, 16, 64, 1)))
+    cfg = VAEGANConfig(disc_start=disc_start, learning_rate=lr)
+
+    def vae_apply(params, x, r):
+        moments = vae.apply({"params": params}, x,
+                            method=AutoencoderKL1D.encode_moments)
+        post = DiagonalGaussian(moments)
+        recon = vae.apply({"params": params}, post.sample(r),
+                          method=AutoencoderKL1D.decode)
+        return recon, post
+
+    def disc_apply(params, stats, x, train):
+        if train:
+            logits, updates = disc.apply(
+                {"params": params, "batch_stats": stats}, x, True,
+                mutable=["batch_stats"])
+            return logits, updates["batch_stats"]
+        return disc.apply({"params": params, "batch_stats": stats}, x, False), stats
+
+    gen_step, disc_step = make_vae_gan_steps(vae_apply, disc_apply, cfg)
+    state = init_vae_gan_state(
+        ae_params, disc_vars["params"], disc_vars["batch_stats"], cfg)
+    gen_step = jax.jit(gen_step)
+    disc_step = jax.jit(disc_step)
+
+    curves = {k: [] for k in ("nll", "d_weight", "g_loss", "disc_loss",
+                              "logits_real", "logits_fake", "r1")}
+    for i in range(steps):
+        r = jax.random.fold_in(rng, i)
+        state, gm = gen_step(state, mel, r)
+        state, dm = disc_step(state, mel, r)
+        curves["nll"].append(float(gm["train/nll_loss"]))
+        curves["d_weight"].append(float(gm["train/d_weight"]))
+        curves["g_loss"].append(float(gm["train/g_loss"]))
+        curves["disc_loss"].append(float(dm["train/disc_loss"]))
+        curves["logits_real"].append(float(dm["train/logits_real"]))
+        curves["logits_fake"].append(float(dm["train/logits_fake"]))
+        curves["r1"].append(float(dm["train/r1_penalty"]))
+        if verbose and (i % log_every == 0 or i == steps - 1):
+            print(f"  [vae-gan {i:4d}] nll {curves['nll'][-1]:9.2f} "
+                  f"d_weight {curves['d_weight'][-1]:8.3f} "
+                  f"g {curves['g_loss'][-1]:+7.3f} "
+                  f"disc {curves['disc_loss'][-1]:7.3f} "
+                  f"D(x)/D(x̂) {curves['logits_real'][-1]:+6.3f}/"
+                  f"{curves['logits_fake'][-1]:+6.3f}", flush=True)
+
+    n0 = np.mean(curves["nll"][:10])
+    n1 = np.mean(curves["nll"][-10:])
+    assert np.isfinite(np.asarray(list(curves.values()))).all(), "non-finite metric"
+    assert n1 < 0.5 * n0, f"rec loss did not fall: {n0:.1f} -> {n1:.1f}"
+    post = slice(disc_start + 5, None)
+    dw = np.asarray(curves["d_weight"][post])
+    assert (dw > 0).all() and (dw < 1e4).all(), "adaptive d_weight not engaged/sane"
+    assert np.abs(np.asarray(curves["g_loss"][-50:])).max() < 1e3, "g_loss blew up"
+    assert np.abs(np.asarray(curves["disc_loss"][-50:])).max() < 1e3, "disc_loss blew up"
+    lr_ = np.mean(curves["logits_real"][-30:])
+    lf_ = np.mean(curves["logits_fake"][-30:])
+    assert lr_ > lf_, f"disc never separated real/fake: {lr_:.3f} vs {lf_:.3f}"
+    return curves
+
+
+# ---------------------------------------------------------------------------
+# (b) vocoder GAN
+# ---------------------------------------------------------------------------
+
+def vocoder_gan_micro(steps=600, lr=5e-4, seed=0, log_every=50, verbose=True):
+    """Overfit a tiny BigVGAN+MPD/MRD on one amplitude-modulated 2 kHz tone.
+
+    The carrier must be a harmonic of sr/prod(upsample_rates) = 2 kHz: a
+    time-invariant x8-upsampling convnet driven by a slowly-varying mel can
+    only emit signals periodic at 8 samples. The 125 Hz AM envelope makes the
+    mel time-varying (a real vocoding task, not a constant-input degenerate).
+
+    Asserts mel-L1 falls >60% and the reconstruction's spectrum peaks at the
+    carrier bin with most of the energy (audibly a tone).
+    """
+    from audiolcm_tpu.dsp.mel import MelConfig, MelSpectrogram
+    from audiolcm_tpu.models.bigvgan import BigVGAN, BigVGANConfig
+    from audiolcm_tpu.models.vocoder_discriminators import (
+        MultiPeriodDiscriminator, MultiResolutionDiscriminator)
+    from audiolcm_tpu.train.vocoder_gan import (
+        VocoderGANConfig, make_vocoder_gan_steps)
+
+    sr, f0, t_len = 16000, 2000.0, 2048
+    n = np.arange(t_len)
+    env = 0.6 + 0.4 * np.sin(2 * np.pi * 125.0 * n / sr)
+    wav = 0.6 * env * np.sin(2 * np.pi * f0 * n / sr)
+    wav = jnp.asarray(wav, jnp.float32)[None]  # (1, 2048)
+
+    # hop == total upsample (4*2=8) so frames*8 == t_len and the generator's
+    # output aligns sample-for-sample with the target
+    mel_cfg = MelConfig(sample_rate=sr, n_fft=64, win_size=64, hop_size=8,
+                        n_mels=8, fmin=125.0, fmax=7600.0)
+    melspec = MelSpectrogram(mel_cfg)
+    mel = jnp.transpose(melspec(wav), (0, 2, 1))  # (1, 256, 8) channels-last
+
+    gen = BigVGAN(BigVGANConfig(
+        num_mels=8, upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),)))
+    mpd = MultiPeriodDiscriminator(periods=(2, 3))
+    mrd = MultiResolutionDiscriminator(resolutions=((128, 32, 64),))
+    rng = jax.random.PRNGKey(seed)
+
+    gen_params = gen.init(rng, mel)["params"]
+    mpd_params = mpd.init(rng, wav, wav)["params"]
+    mrd_params = mrd.init(rng, wav, wav)["params"]
+
+    gen_step, disc_step, init_state = make_vocoder_gan_steps(
+        lambda p, m: gen.apply({"params": p}, m),
+        lambda p, y, yh: mpd.apply({"params": p}, y, yh),
+        lambda p, y, yh: mrd.apply({"params": p}, y, yh),
+        VocoderGANConfig(learning_rate=lr), mel_cfg)
+    state = init_state(gen_params, mpd_params, mrd_params)
+    gen_step = jax.jit(gen_step)
+    disc_step = jax.jit(disc_step)
+
+    curves = {k: [] for k in ("mel", "gen", "disc", "fm", "adv")}
+    for i in range(steps):
+        state, dm = disc_step(state, mel, wav)
+        state, gm = gen_step(state, mel, wav)
+        curves["mel"].append(float(gm["train/mel_loss"]))
+        curves["gen"].append(float(gm["train/gen_loss"]))
+        curves["disc"].append(float(dm["train/disc_loss"]))
+        curves["fm"].append(float(gm["train/fm_loss"]))
+        curves["adv"].append(float(gm["train/adv_loss"]))
+        if verbose and (i % log_every == 0 or i == steps - 1):
+            print(f"  [voc-gan {i:4d}] mel {curves['mel'][-1]:7.3f} "
+                  f"gen {curves['gen'][-1]:7.3f} disc {curves['disc'][-1]:7.3f} "
+                  f"fm {curves['fm'][-1]:6.3f} adv {curves['adv'][-1]:6.3f}",
+                  flush=True)
+
+    m0 = np.mean(curves["mel"][:5])
+    m1 = np.mean(curves["mel"][-5:])
+    assert np.isfinite(np.asarray(list(curves.values()))).all(), "non-finite metric"
+    assert m1 < 0.4 * m0, f"mel-L1 did not fall: {m0:.2f} -> {m1:.2f}"
+    assert np.abs(np.asarray(curves["disc"][-20:])).max() < 1e3, "disc blew up"
+
+    y_hat = np.asarray(gen.apply({"params": state.gen_params}, mel))[0]
+    spec = np.abs(np.fft.rfft(y_hat))
+    spec[0] = 0.0  # ignore DC
+    tone_bin = int(round(f0 * t_len / sr))
+    peak = int(np.argmax(spec))
+    # carrier +- AM sidebands live within +-20 bins of the carrier
+    lo, hi = tone_bin - 20, tone_bin + 21
+    frac = spec[lo:hi].sum() / (spec.sum() + 1e-12)
+    assert abs(peak - tone_bin) <= 2, f"peak bin {peak} vs tone bin {tone_bin}"
+    assert frac > 0.5, f"tone not dominant: {frac:.2f} of spectrum in tone band"
+    if verbose:
+        print(f"  [voc-gan] reconstruction peak bin {peak} (tone {tone_bin}), "
+              f"{frac * 100:.0f}% of spectral energy in the tone band")
+    curves["peak_frac"] = frac
+    return curves
+
+
+# ---------------------------------------------------------------------------
+# (c) teacher -> LCM distillation consistency property
+# ---------------------------------------------------------------------------
+
+def lcm_distill_micro(teacher_steps=1500, distill_steps=1500, batch=32,
+                      guidance=8.0, seed=0, log_every=250, verbose=True):
+    """Train a tiny teacher on a delta-conditional toy distribution, distill,
+    and assert the 2-step student ~= the teacher's 100-step CFG-DDIM samples.
+
+    The toy task: K fixed contexts, each mapping deterministically to one
+    fixed latent z_k — the conditional p(z|ctx_k) is a delta, so the teacher's
+    guided DDIM trajectory has a well-defined endpoint the 2-step student
+    must hit. w is trained over U[4,12]; eval at w=guidance-1=7 (mid-range).
+    """
+    from audiolcm_tpu.diffusion.ddim import DDIMConfig, ddim_sample
+    from audiolcm_tpu.diffusion.lcm import LCMConfig, lcm_sample
+    from audiolcm_tpu.diffusion.schedule import NoiseSchedule
+    from audiolcm_tpu.models.dit import ConcatDiT2MLP
+    from audiolcm_tpu.nn.embeddings import guidance_scale_embedding
+    from audiolcm_tpu.train.lcm_distill import (
+        Batch, LCMDistillConfig, init_train_state, make_lcm_distill_step)
+    from audiolcm_tpu.train.teacher import (
+        TeacherConfig, init_teacher_state, make_teacher_step)
+
+    K, L, C, ctx_dim = 4, 8, 4, 8
+    rng_np = np.random.default_rng(seed)
+    ctxs = jnp.asarray(rng_np.standard_normal((K, 4, ctx_dim)), jnp.float32)
+    z_data = jnp.asarray(rng_np.standard_normal((K, L, C)), jnp.float32)
+    uncond = jnp.zeros((1, 4, ctx_dim), jnp.float32)
+
+    model = ConcatDiT2MLP(in_channels=C, context_dim=ctx_dim, hidden_size=64,
+                          depth=2, num_heads=4, max_len=64)
+    rng = jax.random.PRNGKey(seed)
+    params0 = model.init(
+        rng, jnp.zeros((1, L, C)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 4, ctx_dim)),
+        guidance_scale_embedding(jnp.zeros((1,)), 256))["params"]
+
+    def apply_fn(p, x, t, ctx, w):
+        return model.apply({"params": p}, x, t, ctx, w)
+
+    schedule = NoiseSchedule.linear()
+
+    # -- teacher: eps-MSE with 20% context dropout so CFG has an uncond model
+    tcfg = TeacherConfig(learning_rate=2e-3, warmup_steps=100)
+    tstate = init_teacher_state(params0, tcfg)
+    tstep = jax.jit(make_teacher_step(
+        lambda p, x, t, ctx, w=None: apply_fn(p, x, t, ctx, None),
+        schedule, tcfg))
+    teacher_losses = []
+    for i in range(teacher_steps):
+        idx = rng_np.integers(0, K, batch)
+        drop = rng_np.random(batch) < 0.2
+        ctx_b = np.asarray(ctxs)[idx]
+        ctx_b[drop] = 0.0
+        tstate, tm = tstep(tstate, z_data[idx], jnp.asarray(ctx_b),
+                           jax.random.fold_in(rng, i))
+        teacher_losses.append(float(tm["train/loss"]))
+        if verbose and (i % log_every == 0 or i == teacher_steps - 1):
+            print(f"  [teacher {i:4d}] eps-mse {teacher_losses[-1]:.4f}", flush=True)
+    assert np.mean(teacher_losses[-20:]) < 0.5 * np.mean(teacher_losses[:20]), \
+        "teacher eps-MSE did not fall"
+    teacher = tstate.params
+
+    # -- teacher's 100-step CFG-DDIM endpoint (the distillation target path)
+    eval_rng = jax.random.PRNGKey(seed + 1)
+    ddim_ref = ddim_sample(
+        lambda x, t, c: apply_fn(teacher, x, t, c, None),
+        schedule, eval_rng, (K, L, C), ctxs, uncond,
+        DDIMConfig(num_steps=100, guidance_scale=guidance))
+    if verbose:
+        d2t = float(jnp.linalg.norm(ddim_ref - z_data) / jnp.linalg.norm(z_data))
+        print(f"  [teacher] 100-step CFG-DDIM vs data rel-L2 {d2t:.3f}")
+
+    # -- distill
+    dcfg = LCMDistillConfig(learning_rate=1e-3, warmup_steps=100)
+    dstate = init_train_state(jax.tree.map(jnp.copy, teacher), dcfg)
+    dstep = jax.jit(make_lcm_distill_step(apply_fn, schedule, dcfg))
+    w_eval = guidance - 1.0
+
+    @jax.jit
+    def student_sample(p):
+        return lcm_sample(
+            lambda x, t, w_emb: apply_fn(p, x, t, ctxs, w_emb),
+            schedule, eval_rng, (K, L, C),
+            LCMConfig(num_inference_steps=2, guidance_scale=guidance))
+
+    def rel_to_ref(sample):
+        return float(jnp.linalg.norm(sample - ddim_ref) / jnp.linalg.norm(ddim_ref))
+
+    # NOTE: the per-step huber loss is NOT a convergence signal — it is
+    # sampled at random (t, w) each step and chases a moving EMA target.
+    # The convergence metric is the consistency property itself: the 2-step
+    # sample's distance to the teacher's 100-step CFG-DDIM endpoint.
+    err_init = rel_to_ref(student_sample(dstate.student))
+    errs = [err_init]
+    distill_losses = []
+    eval_every = max(distill_steps // 6, 1)
+    for i in range(distill_steps):
+        idx = rng_np.integers(0, K, batch)
+        b = Batch(z=z_data[idx], context=ctxs[idx])
+        dstate, dm = dstep(dstate, teacher, b, uncond,
+                           jax.random.fold_in(rng, 10_000_000 + i))
+        distill_losses.append(float(dm["train/loss"]))
+        if (i + 1) % eval_every == 0 or i == distill_steps - 1:
+            errs.append(rel_to_ref(student_sample(dstate.student)))
+            if verbose:
+                print(f"  [distill {i:4d}] huber {distill_losses[-1]:.5f} "
+                      f"2step-vs-ddim rel-L2 {errs[-1]:.3f}", flush=True)
+    assert np.isfinite(distill_losses).all()
+
+    err_student = errs[-1]
+    err_target = rel_to_ref(student_sample(dstate.target))
+    err = min(err_student, err_target)
+    if verbose:
+        print(f"  [consistency] 2-step-vs-100-step rel-L2: init {err_init:.3f} "
+              f"-> student {err_student:.3f} / EMA target {err_target:.3f} "
+              f"(w={w_eval:.0f}, trained range [4,12])")
+    # the init student (= teacher copy under the consistency parametrization)
+    # already starts fairly close on a near-delta task; distillation must
+    # still clearly tighten it (measured: 0.258 -> 0.145) and land close in
+    # absolute terms
+    assert err < 0.75 * err_init, \
+        f"distillation did not move toward the teacher trajectory: {err_init:.3f} -> {err:.3f}"
+    assert err < 0.3, f"2-step student too far from teacher DDIM: rel-L2 {err:.3f}"
+    return {"teacher_loss": teacher_losses, "distill_loss": distill_losses,
+            "errs": errs, "err_init": err_init, "err_student": err_student,
+            "err_target": err_target}
+
+
+EXPERIMENTS = {
+    "vae": vae_gan_micro,
+    "vocoder": vocoder_gan_micro,
+    "distill": lcm_distill_micro,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(EXPERIMENTS)
+    import time
+    for name in names:
+        print(f"=== {name} ===", flush=True)
+        t0 = time.time()
+        EXPERIMENTS[name]()
+        print(f"=== {name}: PASS ({time.time() - t0:.0f}s) ===", flush=True)
+
+
+if __name__ == "__main__":
+    main()
