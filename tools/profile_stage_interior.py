@@ -56,6 +56,13 @@ from audiolcm_tpu.nn.pallas_amp_stage import (  # noqa: E402
 
 INTERPRET = os.environ.get("AUDIOLCM_INTERIOR_INTERPRET", "0") == "1"
 ITERS = int(os.environ.get("AUDIOLCM_INTERIOR_ITERS", "20"))
+# comma-list to run a subset, e.g. "full,act2,act6,accf32" — retrying a
+# remote-compile flake shouldn't redo the hour-long exact-cos compile
+ONLY = set(filter(None, os.environ.get("AUDIOLCM_INTERIOR_ONLY", "").split(",")))
+
+
+def _want(key):
+    return not ONLY or key in ONLY
 
 
 def _force(out):
@@ -162,9 +169,11 @@ def profile_shape(c, t, tile, b=8):
     x = jax.random.normal(jax.random.PRNGKey(1), (b, t, c), dtype)
     print(f"=== C={c} T={t} tile={tile} b={b} iters={ITERS} ===", flush=True)
 
-    def timed(label, fn):
+    def timed(label, fn, key=None):
         """Time one variant, print immediately (each is a long Mosaic
         compile — a late crash must not lose earlier numbers)."""
+        if key is not None and not _want(key):
+            return float("nan")
         try:
             ms = timeit(fn, x)
         except Exception as e:  # keep profiling the remaining variants
@@ -174,18 +183,27 @@ def profile_shape(c, t, tile, b=8):
         print(f"  {label}: {ms:7.2f} ms", flush=True)
         return ms
 
-    full = timed("full k(3,7,11) d(1,3,5)", stage_fn(c, t, tile, (3, 7, 11), (1, 3, 5)))
-    k37 = timed("k(3,7)", stage_fn(c, t, tile, (3, 7), (1, 3, 5)))
-    k3 = timed("k(3)", stage_fn(c, t, tile, (3,), (1, 3, 5)))
-    d1 = timed("dil(1)", stage_fn(c, t, tile, (3, 7, 11), (1,)))
-    slow = timed("exact-cos", stage_fn(c, t, tile, (3, 7, 11), (1, 3, 5), fast=False))
+    full = timed("full k(3,7,11) d(1,3,5)",
+                 stage_fn(c, t, tile, (3, 7, 11), (1, 3, 5)), "full")
+    k37 = timed("k(3,7)", stage_fn(c, t, tile, (3, 7), (1, 3, 5)), "k37")
+    k3 = timed("k(3)", stage_fn(c, t, tile, (3,), (1, 3, 5)), "k3")
+    d1 = timed("dil(1)", stage_fn(c, t, tile, (3, 7, 11), (1,)), "d1")
+    slow = timed("exact-cos",
+                 stage_fn(c, t, tile, (3, 7, 11), (1, 3, 5), fast=False), "slow")
+    # f32 FIR accumulation doubles the FIR VPU work and leaves the snake
+    # elementwise in bf16 — its delta over 'full' scales the FIR share
+    # (serving numerics knob, so this compiles where the microkernels flake)
+    af32 = timed("accum-f32",
+                 stage_fn(c, t, tile, (3, 7, 11), (1, 3, 5), accum="f32"),
+                 "accf32")
     print(f"  marginal resblock: k7 {k37 - k3:+.2f} ms, k11 {full - k37:+.2f} ms"
           f" | per extra dilation sub-unit {(full - d1) / 2:+.2f} ms"
-          f" | fast_cos saves {slow - full:+.2f} ms")
+          f" | fast_cos saves {slow - full:+.2f} ms"
+          f" | f32-FIR-accum adds {af32 - full:+.2f} ms")
 
     # act unit: slope of n_rep=2 vs n_rep=6 (4 extra acts) cancels DMA cost
-    a2 = timed("act-only n_rep=2", act_only_fn(c, t, tile, 2))
-    a6 = timed("act-only n_rep=6", act_only_fn(c, t, tile, 6))
+    a2 = timed("act-only n_rep=2", act_only_fn(c, t, tile, 2), "act2")
+    a6 = timed("act-only n_rep=6", act_only_fn(c, t, tile, 6), "act6")
     unit = (a6 - a2) / 4
     n_acts = 2 * 3 * 3  # 2 acts/sub * 3 dil * 3 resblocks
     act_total = unit * n_acts
