@@ -80,6 +80,7 @@ def build_pipeline(
     pallas_stage_accum: str = "bf16",
     pallas_stage_conv: str = "tap",
     int8_min_channels: int = 0,
+    fold_t_segments: int = 0,
     fuse_text: bool = True,
     fuse_qkv: bool = False,
     profile: Optional[str] = None,
@@ -107,6 +108,12 @@ def build_pipeline(
             fast_snake = True
             if pallas_stage_max_channels == 0:
                 pallas_stage_max_channels = 48
+            if fold_t_segments == 0:
+                # batch-1 overlap-discard fold of the XLA vocoder stages:
+                # exact (halo >= stage RF) and inert at batch > 1, so safe
+                # to leave on; 107.1 -> 50.6 ms on the XLA-only b1 vocoder
+                # at fold=8 (tools/bench_b1_fold.py, v5e).
+                fold_t_segments = 8
         elif profile != "parity":
             raise ValueError(f"unknown profile {profile!r} "
                              "(expected 'serving' or 'parity')")
@@ -151,6 +158,11 @@ def build_pipeline(
         # dynamic-int8 resblock convs at the wide stages (2x MXU rate,
         # quantization error ~bf16-level — see nn/int8_conv.py)
         vocoder = vocoder.clone(int8_min_channels=int8_min_channels)
+    if fold_t_segments:
+        # batch-1 overlap-discard fold of the XLA vocoder stages (exact;
+        # only engages at batch 1 — see nn/fold.py). Recovers the B=1
+        # layout cliff the round-5 xplane attribution documented.
+        vocoder = vocoder.clone(fold_t_segments=fold_t_segments)
 
     clap_mod, t5_mod = cfg.cond["clap_text"], cfg.cond["t5"]
     if fuse_text:
@@ -272,6 +284,7 @@ def _pipeline_knobs(pipe: AudioLCMPipeline) -> tuple:
         "" if voc is None else getattr(voc, "pallas_stage_accum", ""),
         "" if voc is None else getattr(voc, "pallas_stage_conv", ""),
         0 if voc is None else getattr(voc, "int8_min_channels", 0),
+        0 if voc is None else getattr(voc, "fold_t_segments", 0),
     )
 
 

@@ -145,6 +145,52 @@ def stft_magnitude(
     return jnp.transpose(mag, (0, 2, 1))  # (B, n_freq, frames)
 
 
+@functools.lru_cache(maxsize=None)
+def _dft_basis(n_fft: int) -> tuple:
+    """Real-DFT basis matrices (n_fft, n_fft//2+1): re = x @ C, im = x @ S."""
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_size", "win_size"))
+def stft_magnitude_matmul(
+    y: jnp.ndarray,
+    window: jnp.ndarray,
+    n_fft: int,
+    hop_size: int,
+    win_size: int,
+) -> jnp.ndarray:
+    """stft_magnitude with the rFFT expressed as two DFT matmuls.
+
+    TPU-first alternative for the MRD discriminators' small STFTs
+    (`vocoder/bigvgan/models.py:319-327`): XLA's TPU FFT lowering is a
+    generic radix decomposition, while an explicit (frames, n_fft) @
+    (n_fft, n_fft//2+1) pair of cos/sin matmuls rides the MXU directly —
+    at n_fft <= 2048 the DFT matrix is tiny and the whole magnitude
+    pipeline fuses into two matmuls + one elementwise pass. f32
+    accumulation; numerics vs the rfft path are at matmul-reassociation
+    level (tested in tests/test_vocoder_gan.py).
+    """
+    frames = _frame(y, n_fft, hop_size)
+    if win_size < n_fft:
+        pad = (n_fft - win_size) // 2
+        window = jnp.pad(window, (pad, n_fft - win_size - pad))
+    frames = frames * window[None, None, :]
+    cos_b, sin_b = _dft_basis(n_fft)
+    cos_b = jnp.asarray(cos_b, dtype=frames.dtype)
+    sin_b = jnp.asarray(sin_b, dtype=frames.dtype)
+    re = jnp.einsum(
+        "bfn,nk->bfk", frames, cos_b, preferred_element_type=jnp.float32
+    )
+    im = jnp.einsum(
+        "bfn,nk->bfk", frames, sin_b, preferred_element_type=jnp.float32
+    )
+    mag = jnp.sqrt(re * re + im * im + 1e-9).astype(y.dtype)
+    return jnp.transpose(mag, (0, 2, 1))  # (B, n_freq, frames)
+
+
 class MelSpectrogram:
     """Precomputed-constant log-mel transform; call on (B, L) or (L,) wav."""
 

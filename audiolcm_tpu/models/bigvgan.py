@@ -299,6 +299,13 @@ class BigVGAN(nn.Module):
     # Serving knob: stages with ch >= this run their resblock convs with
     # dynamic int8 (2x MXU rate; see nn/int8_conv.py). 0 = off (default).
     int8_min_channels: int = 0
+    # Batch-1 serving knob: fold the time axis of the XLA (non-Pallas) stages
+    # into this many overlap-discard segments so B=1 runs as a small batch
+    # (see nn/fold.py — the b1 wide stages are 4.6-7.6x off their b8
+    # per-clip cost purely from XLA's B=1 layout). 0 = off (default).
+    # Exact: halo covers each stage's receptive field; edge segments are
+    # aligned with the true signal edges. Only engages at batch 1.
+    fold_t_segments: int = 0
     pallas_interpret: bool = False  # tests: run the kernel in interpret mode
 
     @nn.compact
@@ -309,7 +316,6 @@ class BigVGAN(nn.Module):
         num_kernels = len(cfg.resblock_kernel_sizes)
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
-            x = ConvTranspose1dTorchParity(ch, k, u, name=f"ups_{i}")(x)
             if (
                 cfg.resblock == "1"
                 and cfg.activation == "snakebeta"
@@ -319,11 +325,33 @@ class BigVGAN(nn.Module):
                 # constant C*tile budget: Mosaic compile time and VMEM both
                 # scale with the (C, tile) block, so wider stages tile shorter
                 and (tile := _pick_stage_tile(
-                    x.shape[1], max_tile=max(2048, (9984 * 24 // ch) // 128 * 128)
+                    x.shape[1] * u, max_tile=max(2048, (9984 * 24 // ch) // 128 * 128)
                 ))
             ):
+                x = ConvTranspose1dTorchParity(ch, k, u, name=f"ups_{i}")(x)
                 x = self._pallas_stage(x, i, tile)
                 continue
+            # Batch-1 overlap-discard fold (nn/fold.py): run this XLA stage
+            # as a `fold` segment batch. Exact (halo >= stage RF, edge
+            # segments aligned with the true edges); skipped silently when
+            # the shape doesn't admit it.
+            folded = False
+            if self.fold_t_segments >= 2 and x.shape[0] == 1 and cfg.resblock == "1":
+                from audiolcm_tpu.nn.fold import (
+                    fold_legal,
+                    fold_time,
+                    stage_fold_halo,
+                    unfold_time,
+                )
+
+                halo = stage_fold_halo(
+                    u, k, cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes
+                )
+                if fold_legal(x.shape[1], self.fold_t_segments, halo):
+                    seg_len = x.shape[1] // self.fold_t_segments
+                    x = fold_time(x, self.fold_t_segments, halo)
+                    folded = True
+            x = ConvTranspose1dTorchParity(ch, k, u, name=f"ups_{i}")(x)
             cf = cfg.resblock == "1" and ch <= self.cf_max_channels
             if cf:
                 x = jnp.transpose(x, (0, 2, 1))  # one transpose per stage
@@ -347,6 +375,8 @@ class BigVGAN(nn.Module):
             x = acc / num_kernels
             if cf:
                 x = jnp.transpose(x, (0, 2, 1))
+            if folded:
+                x = unfold_time(x, self.fold_t_segments, halo * u, seg_len * u)
         # Tail (act_post -> conv_post k7 -> tanh) over the LONGEST stream of
         # the net (T = 256*mel_T): at the final C=24 the channels-last FIRs
         # fill 19% of the lanes; the channels-first math (same modules'

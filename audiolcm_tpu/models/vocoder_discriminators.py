@@ -22,7 +22,7 @@ from typing import List, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from audiolcm_tpu.dsp.mel import stft_magnitude
+from audiolcm_tpu.dsp.mel import stft_magnitude, stft_magnitude_matmul
 
 _init = nn.initializers.normal(0.01)
 LRELU_SLOPE = 0.1
@@ -85,10 +85,18 @@ class DiscriminatorP(nn.Module):
 
 
 class DiscriminatorR(nn.Module):
-    """STFT-magnitude 2D conv discriminator (`models.py:277-317`)."""
+    """STFT-magnitude 2D conv discriminator (`models.py:277-317`).
+
+    stft_matmul=True computes the magnitude STFT as two DFT matmuls instead
+    of XLA's FFT lowering (dsp.mel.stft_magnitude_matmul) — a TPU layout
+    experiment for the training step, where the 3 resolutions x (real, fake)
+    rffts are latency- rather than FLOP-bound. Param tree and losses are
+    identical; numerics differ only at matmul-reassociation level.
+    """
 
     resolution: Sequence[int]  # (n_fft, hop, win)
     d_mult: int = 1
+    stft_matmul: bool = False
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
@@ -97,7 +105,8 @@ class DiscriminatorR(nn.Module):
         y = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
         # rectangular window (torch.stft with window=None), `models.py:319-327`
         window = jnp.ones((win,), dtype=y.dtype)
-        mag = stft_magnitude(y, window, n_fft, hop, win)  # (B, F, TT)
+        stft = stft_magnitude_matmul if self.stft_matmul else stft_magnitude
+        mag = stft(y, window, n_fft, hop, win)  # (B, F, TT)
         x = jnp.transpose(mag, (0, 2, 1))[..., None]  # (B, TT, F, 1)
 
         fmap = []
@@ -166,12 +175,14 @@ class MultiResolutionDiscriminator(nn.Module):
     resolutions: Sequence[Sequence[int]] = ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
     d_mult: int = 1
     pair_batch: bool = False  # batch (real, fake) into one 2B apply
+    stft_matmul: bool = False  # DFT-matmul STFTs (see DiscriminatorR)
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
         reals, fakes, fmap_r, fmap_g = [], [], [], []
         for res in self.resolutions:
-            d = DiscriminatorR(tuple(res), self.d_mult, name=f"r{res[0]}")
+            d = DiscriminatorR(tuple(res), self.d_mult,
+                               stft_matmul=self.stft_matmul, name=f"r{res[0]}")
             lr, lg, fr, fg = _apply_pair(d, y, y_hat, self.pair_batch)
             reals.append(lr)
             fakes.append(lg)

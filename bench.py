@@ -183,13 +183,19 @@ def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
     # DiT Q/K/V as one matmul (numerics-preserving; see nn/attention.py:
     # fuse_attention_params)
     fuse_qkv = os.environ.get("AUDIOLCM_FUSE_QKV", "0") == "1"
+    # batch-1 overlap-discard fold of the XLA vocoder stages (nn/fold.py):
+    # exact (halo >= stage RF) and inert at batch > 1, so on by default —
+    # 107.1 -> 50.6 ms on the XLA-only b1 vocoder at fold=8
+    # (tools/bench_b1_fold.py, v5e). 0 disables.
+    fold_t = int(os.environ.get("AUDIOLCM_FOLD_T", "8"))
     modules = PipelineModules(
         dit=ConcatDiT2MLP(use_flash=use_flash, fuse_qkv=fuse_qkv),
         vae=AutoencoderKL1D(VAEConfig()),
         vocoder=BigVGAN(BigVGANConfig(fast_snake=fast_snake),
                         pallas_stage_max_channels=pallas_max,
                         pallas_stage_conv=stage_conv,
-                        int8_min_channels=int8_min),
+                        int8_min_channels=int8_min,
+                        fold_t_segments=fold_t),
         clap_text=ClapTextEncoder(BertConfig(), fuse_proj=fuse_text),
         t5=T5Encoder(T5Config(), fuse_proj=fuse_text),
     )
@@ -222,7 +228,7 @@ def build_bench_pipeline(batch=8, latent_len=312, tok_len=77):
         compute_dtype=compute_dtype,
     )
     knobs = (dtype_name, fast_snake, pallas_max, stage_conv, int8_min,
-             fuse_text, fuse_qkv)
+             fuse_text, fuse_qkv, fold_t)
     return pipe, clap_ids, t5_ids, knobs
 
 

@@ -147,3 +147,43 @@ def test_discriminator_p_fold_modes_equivalent():
             np.testing.assert_allclose(
                 np.asarray(a.transpose(0, 2, 1, 3).reshape(-1)),
                 np.asarray(c.reshape(-1)), rtol=0, atol=2e-5)
+
+
+def test_mrd_stft_matmul_equivalent():
+    """stft_matmul=True (DFT-as-matmul, dsp.mel.stft_magnitude_matmul — the
+    TPU MXU formulation of the MRD STFTs) matches the rfft path at matmul-
+    reassociation level: same param tree, logits/fmaps numerically close."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiolcm_tpu.dsp.mel import stft_magnitude, stft_magnitude_matmul
+    from audiolcm_tpu.models.vocoder_discriminators import (
+        MultiResolutionDiscriminator,
+    )
+
+    rng = jax.random.PRNGKey(7)
+    wav = jax.random.normal(rng, (2, 8192), jnp.float32)
+
+    # raw STFT magnitude at all three MRD resolutions
+    for n_fft, hop, win in ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240)):
+        window = jnp.ones((win,), jnp.float32)
+        pad = (n_fft - hop) // 2
+        y = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+        a = stft_magnitude(y, window, n_fft, hop, win)
+        b = stft_magnitude_matmul(y, window, n_fft, hop, win)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+    # full discriminator: identical param tree, close outputs
+    y_hat = jax.random.normal(jax.random.PRNGKey(8), (2, 8192), jnp.float32)
+    d_fft = MultiResolutionDiscriminator()
+    d_mm = MultiResolutionDiscriminator(stft_matmul=True)
+    params = d_fft.init(rng, wav, y_hat)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(d_mm.init(rng, wav, y_hat)))
+    ra, fa, fra, fga = d_fft.apply(params, wav, y_hat)
+    rb, fb, frb, fgb = d_mm.apply(params, wav, y_hat)
+    for a, b in zip(ra + fa, rb + fb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)

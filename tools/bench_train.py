@@ -253,12 +253,14 @@ def bench_vocoder(iters):
 
     dtype = _dtype()
     # layout A/B knobs (VERDICT r4 #7): AUDIOLCM_MPD_FOLD=width|batch,
-    # AUDIOLCM_DISC_PAIR=0|1 (one 2B apply per sub-disc instead of two)
+    # AUDIOLCM_DISC_PAIR=0|1 (one 2B apply per sub-disc instead of two),
+    # AUDIOLCM_MRD_STFT=fft|matmul (DFT-as-matmul MRD spectrograms)
     fold = os.environ.get("AUDIOLCM_MPD_FOLD", "width")
     pair = os.environ.get("AUDIOLCM_DISC_PAIR", "0") == "1"
+    mrd_mm = os.environ.get("AUDIOLCM_MRD_STFT", "fft") == "matmul"
     gen = BigVGAN(BigVGANConfig())
     mpd = MultiPeriodDiscriminator(fold_mode=fold, pair_batch=pair)
-    mrd = MultiResolutionDiscriminator(pair_batch=pair)
+    mrd = MultiResolutionDiscriminator(pair_batch=pair, stft_matmul=mrd_mm)
     rng = jax.random.PRNGKey(0)
     batch, segment, hop = 32, 8192, 256
     frames = segment // hop + 1
@@ -282,7 +284,8 @@ def bench_vocoder(iters):
         d, state, (mel, wav), "train/disc_loss", iters, "voc_disc")
     _emit("vocoder_gan_disc_b32", ms, flops,
           {"compile_s": round(comp, 1), "loss": round(loss, 2),
-           "note": f"MPD+MRD LSGAN, segment 8192, fold={fold} pair={int(pair)}"})
+           "note": f"MPD+MRD LSGAN, segment 8192, fold={fold} pair={int(pair)} "
+                   f"mrd_stft={'matmul' if mrd_mm else 'fft'}"})
 
     state = state_g
     g = jax.jit(gen_step, donate_argnums=(0,))
@@ -291,7 +294,8 @@ def bench_vocoder(iters):
     _emit("vocoder_gan_gen_b32", ms, flops,
           {"compile_s": round(comp, 1), "loss": round(loss, 2),
            "note": f"45*L1-mel + FM + adv, gen fwd+bwd through MPD+MRD, "
-                   f"fold={fold} pair={int(pair)}"})
+                   f"fold={fold} pair={int(pair)} "
+                   f"mrd_stft={'matmul' if mrd_mm else 'fft'}"})
 
 
 def main():
