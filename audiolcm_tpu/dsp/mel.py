@@ -110,6 +110,10 @@ class MelConfig:
     # hifi-gan-derived vocoder scripts' natural log
     # (`vocoder/bigvgan/meldataset.py:38-47` dynamic_range_compression).
     log_base: str = "10"
+    # True = compute the |STFT| via stft_magnitude_matmul (DFT-as-matmul on
+    # the MXU) instead of XLA's rFFT lowering. Numerically equivalent at
+    # matmul-reassociation level (tested); a training-step A/B knob.
+    stft_matmul: bool = False
 
 
 def _frame(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
@@ -211,7 +215,8 @@ class MelSpectrogram:
         y = jnp.clip(y, -1.0, 1.0)
         pad = (cfg.n_fft - cfg.hop_size) // 2
         y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
-        mag = stft_magnitude(y, self.window, cfg.n_fft, cfg.hop_size, cfg.win_size)
+        stft = stft_magnitude_matmul if cfg.stft_matmul else stft_magnitude
+        mag = stft(y, self.window, cfg.n_fft, cfg.hop_size, cfg.win_size)
         mel = jnp.einsum(
             "mf,bft->bmt", self.mel_basis, mag, preferred_element_type=jnp.float32
         )

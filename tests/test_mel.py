@@ -89,3 +89,24 @@ def test_hann_window_matches_torch():
     np.testing.assert_allclose(
         hann_window(1024), torch.hann_window(1024).numpy(), atol=1e-6
     )
+
+
+def test_mel_stft_matmul_matches_fft(rng):
+    """MelConfig(stft_matmul=True) — the DFT-as-matmul MXU formulation
+    (dsp/mel.py:stft_magnitude_matmul) — must match the rFFT path through
+    the full log-mel pipeline at matmul-reassociation tolerance, value AND
+    gradient (the knob targets the vocoder-GAN gen step's differentiated
+    mel loss, train/vocoder_gan.py)."""
+    import jax
+
+    wav = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+    fft = MelSpectrogram(MelConfig(fmin=125.0, fmax=8000.0))
+    mm = MelSpectrogram(MelConfig(fmin=125.0, fmax=8000.0, stft_matmul=True))
+    a = np.asarray(fft(jnp.asarray(wav)))
+    b = np.asarray(mm(jnp.asarray(wav)))
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-4)
+
+    loss = lambda spec, w: jnp.mean(jnp.abs(spec(w)))
+    ga = np.asarray(jax.grad(lambda w: loss(fft, w))(jnp.asarray(wav)))
+    gb = np.asarray(jax.grad(lambda w: loss(mm, w))(jnp.asarray(wav)))
+    np.testing.assert_allclose(ga, gb, atol=2e-5, rtol=1e-3)

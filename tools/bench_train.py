@@ -258,6 +258,9 @@ def bench_vocoder(iters):
     fold = os.environ.get("AUDIOLCM_MPD_FOLD", "width")
     pair = os.environ.get("AUDIOLCM_DISC_PAIR", "0") == "1"
     mrd_mm = os.environ.get("AUDIOLCM_MRD_STFT", "fft") == "matmul"
+    # AUDIOLCM_MEL_STFT=fft|matmul: same DFT-as-matmul formulation for the
+    # gen step's 45*L1 mel-loss spectrograms (two mels + their grads/step)
+    mel_mm = os.environ.get("AUDIOLCM_MEL_STFT", "fft") == "matmul"
     gen = BigVGAN(BigVGANConfig())
     mpd = MultiPeriodDiscriminator(fold_mode=fold, pair_batch=pair)
     mrd = MultiResolutionDiscriminator(pair_batch=pair, stft_matmul=mrd_mm)
@@ -269,7 +272,7 @@ def bench_vocoder(iters):
     gen_params = _cast(gen.init(rng, mel[:1])["params"], dtype)
     mpd_params = _cast(mpd.init(rng, wav[:1], wav[:1])["params"], dtype)
     mrd_params = _cast(mrd.init(rng, wav[:1], wav[:1])["params"], dtype)
-    loss_mel_cfg = MelConfig(fmin=125.0, fmax=8000.0)
+    loss_mel_cfg = MelConfig(fmin=125.0, fmax=8000.0, stft_matmul=mel_mm)
     gen_step, disc_step, init_state = make_vocoder_gan_steps(
         lambda p, m: gen.apply({"params": p}, m.astype(dtype)),
         lambda p, y, yh: mpd.apply({"params": p}, y.astype(dtype), yh.astype(dtype)),
@@ -295,7 +298,8 @@ def bench_vocoder(iters):
           {"compile_s": round(comp, 1), "loss": round(loss, 2),
            "note": f"45*L1-mel + FM + adv, gen fwd+bwd through MPD+MRD, "
                    f"fold={fold} pair={int(pair)} "
-                   f"mrd_stft={'matmul' if mrd_mm else 'fft'}"})
+                   f"mrd_stft={'matmul' if mrd_mm else 'fft'} "
+                   f"mel_stft={'matmul' if mel_mm else 'fft'}"})
 
 
 def main():
